@@ -1,0 +1,83 @@
+"""Bilinear/nearest resize with exact paddle/torch interpolate semantics.
+
+The reference leans on ``F.interpolate(..., mode='bilinear',
+align_corners=True/False)`` throughout (e.g. paddle_EMRT.py:288-301,
+infer.py:151). On TPU we implement resize as two einsums against static
+separable interpolation matrices: 1-D bilinear weights are built host-side
+(shapes are static under jit), so the whole resize runs on the MXU and XLA
+fuses it with neighboring ops — no gather, no dynamic shapes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """[out, in] row-stochastic bilinear interpolation matrix."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    o = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = o * (in_size - 1) / max(out_size - 1, 1)
+    else:
+        src = (o + 0.5) * in_size / out_size - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    m[np.arange(out_size), i0] += 1.0 - w1
+    m[np.arange(out_size), i1] += w1
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    # paddle/torch 'nearest' uses floor(o * in/out)
+    o = np.arange(out_size, dtype=np.float64)
+    return np.minimum(np.floor(o * in_size / out_size), in_size - 1).astype(np.int32)
+
+
+def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.ndarray:
+    """Resize NHWC (or HWC) to ``size=(out_h, out_w)``; matches paddle bilinear."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    out_h, out_w = int(size[0]), int(size[1])
+    dtype = x.dtype
+    if (out_h, out_w) == (h, w):
+        return x[0] if squeeze else x
+    mh = jnp.asarray(_interp_matrix(h, out_h, align_corners), dtype=jnp.float32)
+    mw = jnp.asarray(_interp_matrix(w, out_w, align_corners), dtype=jnp.float32)
+    y = x.astype(jnp.float32)
+    y = jnp.einsum("oh,bhwc->bowc", mh, y, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y, precision=jax.lax.Precision.HIGHEST)
+    y = y.astype(dtype)
+    return y[0] if squeeze else y
+
+
+def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    out_h, out_w = int(size[0]), int(size[1])
+    y = jnp.take(x, jnp.asarray(_nearest_index(h, out_h)), axis=1)
+    y = jnp.take(y, jnp.asarray(_nearest_index(w, out_w)), axis=2)
+    return y[0] if squeeze else y
+
+
+def interpolate(x: jnp.ndarray, size, mode: str = "bilinear",
+                align_corners: bool = False) -> jnp.ndarray:
+    if mode in ("bilinear", "linear"):
+        return resize_bilinear(x, size, align_corners)
+    if mode == "nearest":
+        return resize_nearest(x, size)
+    raise ValueError(f"unsupported mode {mode}")

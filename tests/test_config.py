@@ -1,0 +1,80 @@
+import os
+import textwrap
+
+from emrt_tpu.config import get_config
+
+
+def test_defaults():
+    cfg = get_config()
+    assert cfg.DATA.BATCH_SIZE == 4
+    assert cfg.TRAIN.LR_SCHEDULER.NAME == "PolynomialDecay"
+    assert cfg.MODEL.AUX.AUX_WEIGHT == 0.4
+    assert cfg.VAL.MEAN == [123.675, 116.28, 103.53]
+
+
+def test_base_inheritance(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text(textwrap.dedent("""
+        DATA:
+            BATCH_SIZE: 16
+            NUM_CLASSES: 6
+    """))
+    child = tmp_path / "child.yaml"
+    child.write_text(textwrap.dedent("""
+        BASE: ['base.yaml']
+        DATA:
+            BATCH_SIZE: 8
+        TRAIN:
+            BASE_LR: 0.01
+    """))
+    cfg = get_config(str(child))
+    assert cfg.DATA.BATCH_SIZE == 8        # child overrides base
+    assert cfg.DATA.NUM_CLASSES == 6       # inherited from base
+    assert cfg.TRAIN.BASE_LR == 0.01
+
+
+def test_reference_style_yaml(tmp_path):
+    # tuple-as-string and scientific-notation values as in the reference yamls
+    f = tmp_path / "emrt.yaml"
+    f.write_text(textwrap.dedent("""
+        DATA:
+            DATASET: 'Potsdam'
+            BATCH_SIZE: 8
+            CROP_SIZE: (256, 256)
+            NUM_CLASSES: 6
+        TRAIN:
+            BASE_LR: 0.01
+            END_LR: 0.0
+            ITERS: 160000
+            OPTIMIZER:
+                WEIGHT_DECAY: 1e-4
+                GRAD_CLIP: 1.0
+        MODEL:
+            NAME: "EMRT"
+            ENCODER:
+                TYPE: "resnet50"
+            OUTPUT_STRIDE: 32
+        VAL:
+            IMAGE_BASE_SIZE: 256
+            CROP_SIZE: [256, 256]
+    """))
+    cfg = get_config(str(f))
+    assert cfg.DATA.CROP_SIZE == (256, 256)
+    assert cfg.TRAIN.OPTIMIZER.WEIGHT_DECAY == 1e-4
+    assert cfg.TRAIN.OPTIMIZER.GRAD_CLIP == 1.0
+    assert cfg.MODEL.ENCODER.TYPE == "resnet50"
+    assert cfg.VAL.CROP_SIZE == [256, 256]
+
+
+def test_clone_and_freeze():
+    cfg = get_config()
+    cfg2 = cfg.clone()
+    cfg2.DATA.BATCH_SIZE = 99
+    assert cfg.DATA.BATCH_SIZE == 4
+    cfg.freeze()
+    try:
+        cfg.DATA.BATCH_SIZE = 1
+        raised = False
+    except AttributeError:
+        raised = True
+    assert raised

@@ -1,0 +1,86 @@
+import numpy as np
+
+from emrt_tpu.config import get_config
+from emrt_tpu.data import (DataLoader, IterationSampler, SyntheticDataset,
+                           get_transforms)
+from emrt_tpu.data.transforms import (Normalize, RandomHorizontalFlip,
+                                      RandomPaddingCrop, ResizeStepScaling)
+
+
+def _potsdam_cfg():
+    cfg = get_config()
+    cfg.DATA.DATASET = "Potsdam"
+    cfg.DATA.CROP_SIZE = (64, 64)
+    cfg.DATA.NUM_CLASSES = 6
+    return cfg
+
+
+def test_transform_recipe_shapes():
+    cfg = _potsdam_cfg()
+    tfms = get_transforms(cfg)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (100, 80, 3)).astype(np.float32)
+    label = rng.integers(0, 6, (100, 80)).astype(np.uint8)
+    for _ in range(5):
+        out_img, out_label = img, label
+        for op in tfms:
+            out_img, out_label = op(out_img, out_label, rng)
+        assert out_img.shape == (64, 64, 3)
+        assert out_label.shape == (64, 64)
+        assert out_img.dtype == np.float32
+
+
+def test_normalize_zero_to_255_space():
+    img = np.full((4, 4, 3), 123.675, dtype=np.float32)
+    img[..., 1] = 116.28
+    img[..., 2] = 103.53
+    out, _ = Normalize(mean=[123.675, 116.28, 103.53],
+                       std=[58.395, 57.12, 57.375])(img, None, np.random.default_rng(0))
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_flip_determinism():
+    rng1 = np.random.default_rng(7)
+    rng2 = np.random.default_rng(7)
+    img = np.arange(48, dtype=np.float32).reshape(4, 4, 3)
+    a, _ = RandomHorizontalFlip(0.5)(img, None, rng1)
+    b, _ = RandomHorizontalFlip(0.5)(img, None, rng2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_random_padding_crop_pads_small_images():
+    rng = np.random.default_rng(0)
+    img = np.ones((10, 10, 3), dtype=np.float32)
+    label = np.ones((10, 10), dtype=np.uint8)
+    out_img, out_label = RandomPaddingCrop((32, 32), (0, 0, 0), 255)(img, label, rng)
+    assert out_img.shape == (32, 32, 3)
+    assert out_label.shape == (32, 32)
+    assert (out_label == 255).sum() > 0  # padding got ignore label
+
+
+def test_sampler_sharding_disjoint():
+    s0 = IterationSampler(100, 4, seed=3, shard_index=0, num_shards=2)
+    s1 = IterationSampler(100, 4, seed=3, shard_index=1, num_shards=2)
+    e0 = s0.epoch_indices(0)
+    e1 = s1.epoch_indices(0)
+    assert len(e0) == len(e1) == 52  # padded to multiple of 8 then split
+    assert set(e0).isdisjoint(set(e1)) or len(set(e0) & set(e1)) <= 4  # only pad dups
+
+
+def test_dataloader_iterates():
+    ds = SyntheticDataset(None, num_samples=16, crop_size=(32, 32), num_classes=6)
+    loader = DataLoader(ds, batch_size=4, iterations=5, seed=0, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 5
+    for b in batches:
+        assert b["image"].shape == (4, 32, 32, 3)
+        assert b["label"].shape == (4, 32, 32)
+
+
+def test_dataloader_deterministic():
+    ds = SyntheticDataset([RandomHorizontalFlip(0.5)], num_samples=16,
+                          crop_size=(16, 16), num_classes=6)
+    a = [b["image"].copy() for b in DataLoader(ds, 4, iterations=3, seed=5, num_workers=2)]
+    b = [b["image"].copy() for b in DataLoader(ds, 4, iterations=3, seed=5, num_workers=2)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
