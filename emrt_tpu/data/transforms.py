@@ -291,6 +291,8 @@ def get_transforms(config):
                 Normalize(**imagenet)]
     if dataset == "LoveDA":
         return [Normalize(**imagenet)]
+    if dataset == "Synthetic":
+        return [RandomHorizontalFlip(prob=0.5), Normalize(**imagenet)]
     if dataset in ("Cityscapes", "PascalContext", "CocoStuff"):
         return [ResizeStepScaling(0.5, 2.0, 0.25),
                 RandomPaddingCrop(crop_size=config.DATA.CROP_SIZE,

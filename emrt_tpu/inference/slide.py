@@ -1,0 +1,141 @@
+"""Sliding-window / single-scale / multi-scale TTA inference.
+
+Behavior-equivalent to the reference inference engine
+(src/api/infer.py:22-260: overlap sliding window with sum/count stitch,
+ss_inference resize-to-ori + softmax + argmax, ms_inference scale x h-flip
+TTA) — but TPU-first: window coordinates are static python ints, all windows
+of a batch are stacked into one device batch for a single model call (the
+reference loops windows in python issuing one forward per grid cell), and
+the stitch is a static-slice scatter-add that XLA fuses. No host round-trips
+inside a batch.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import resize_bilinear
+
+
+def window_grid(img_h: int, img_w: int, crop, stride):
+    """Static (h1, w1) window origins covering the image
+    (reference slide_inference rows/cols + clamping, infer.py:43-60)."""
+    w_crop, h_crop = crop
+    w_stride, h_stride = stride
+    rows = max(img_h - h_crop + h_stride - 1, 0) // h_stride + 1
+    cols = max(img_w - w_crop + w_stride - 1, 0) // w_stride + 1
+    coords = []
+    for r in range(rows):
+        for c in range(cols):
+            h1 = min(r * h_stride, max(img_h - h_crop, 0))
+            w1 = min(c * w_stride, max(img_w - w_crop, 0))
+            coords.append((h1, w1))
+    # dedupe clamped duplicates, preserve order
+    seen, out = set(), []
+    for hw in coords:
+        if hw not in seen:
+            seen.add(hw)
+            out.append(hw)
+    return out
+
+
+def slide_inference(forward, imgs: jnp.ndarray, crop, stride,
+                    num_classes: int, window_batch: int | None = None):
+    """Overlap sliding-window logits for a uniform-shape NHWC batch.
+
+    forward: images [n, ch, cw, 3] -> logits [n, ch, cw, C].
+    Returns [bs, H, W, C] stitched (sum / count) logits.
+    """
+    bs, img_h, img_w, _ = imgs.shape
+    w_crop, h_crop = crop
+    h_crop = min(h_crop, img_h)
+    w_crop = min(w_crop, img_w)
+    coords = window_grid(img_h, img_w, (w_crop, h_crop), stride)
+
+    windows = jnp.concatenate(
+        [jax.lax.slice(imgs, (0, h1, w1, 0),
+                       (bs, h1 + h_crop, w1 + w_crop, imgs.shape[3]))
+         for h1, w1 in coords], axis=0)
+
+    if window_batch is None or windows.shape[0] <= window_batch:
+        logits = forward(windows)
+    else:
+        chunks = []
+        for i in range(0, windows.shape[0], window_batch):
+            chunks.append(forward(windows[i:i + window_batch]))
+        logits = jnp.concatenate(chunks, axis=0)
+    logits = logits.astype(jnp.float32)
+
+    canvas = jnp.zeros((bs, img_h, img_w, num_classes), jnp.float32)
+    count = jnp.zeros((bs, img_h, img_w, 1), jnp.float32)
+    one = jnp.ones((bs, h_crop, w_crop, 1), jnp.float32)
+    for i, (h1, w1) in enumerate(coords):
+        canvas = canvas.at[:, h1:h1 + h_crop, w1:w1 + w_crop, :].add(
+            logits[i * bs:(i + 1) * bs])
+        count = count.at[:, h1:h1 + h_crop, w1:w1 + w_crop, :].add(one)
+    return canvas / count
+
+
+def ss_inference(forward, imgs, ori_shape, is_slide: bool, base_size,
+                 stride_size, crop_size, num_classes: int,
+                 rescale_from_ori: bool = False,
+                 window_batch: int | None = None):
+    """Single-scale inference -> per-image argmax predictions
+    (reference infer.py:82-157). imgs: uniform NHWC batch."""
+    if not is_slide:
+        logits = forward(imgs).astype(jnp.float32)
+    else:
+        if rescale_from_ori and base_size:
+            h, w = imgs.shape[1:3]
+            if min(h, w) < min(base_size):
+                short = min(base_size)
+                nh, nw = (int(short * h / w), short) if h > w else (short, int(short * w / h))
+                imgs = resize_bilinear(imgs, (nh, nw))
+            # fallthrough into slide on the rescaled batch
+        logits = slide_inference(forward, imgs, crop_size, stride_size,
+                                 num_classes, window_batch)
+    if ori_shape is not None:
+        logits = resize_bilinear(logits, ori_shape, align_corners=False)
+        prob = jax.nn.softmax(logits, axis=-1)
+        return jnp.argmax(prob, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def ms_inference(forward, imgs, ori_shape, is_slide: bool, base_size,
+                 stride_size, crop_size, num_classes: int,
+                 scales=(1.0,), flip_horizontal: bool = True,
+                 flip_vertical: bool = False,
+                 window_batch: int | None = None):
+    """Multi-scale + flip TTA -> argmax predictions (reference infer.py:160-260)."""
+    bs, h_input, w_input, _ = imgs.shape
+    if ori_shape is None:
+        ori_shape = (h_input, w_input)
+    final = jnp.zeros((bs,) + tuple(ori_shape) + (num_classes,), jnp.float32)
+    for scale in scales:
+        h = int(h_input * scale + 0.5)
+        w = int(w_input * scale + 0.5)
+        # keep the short edge >= crop (reference :236-242)
+        if min(h, w) < crop_size[0]:
+            short = crop_size[0]
+            h, w = (int(short * h / w), short) if h > w else (short, int(short * w / h))
+        scaled = resize_bilinear(imgs, (h, w))
+        logit = slide_inference(forward, scaled, crop_size, stride_size,
+                                num_classes, window_batch)
+        logit = resize_bilinear(logit, ori_shape, align_corners=False)
+        final = final + jax.nn.softmax(logit, axis=-1)
+        if flip_horizontal:
+            logit = slide_inference(forward, scaled[:, :, ::-1], crop_size,
+                                    stride_size, num_classes, window_batch)
+            logit = logit[:, :, ::-1]
+            logit = resize_bilinear(logit, ori_shape, align_corners=False)
+            final = final + jax.nn.softmax(logit, axis=-1)
+        if flip_vertical:
+            logit = slide_inference(forward, scaled[:, ::-1], crop_size,
+                                    stride_size, num_classes, window_batch)
+            logit = logit[:, ::-1]
+            logit = resize_bilinear(logit, ori_shape, align_corners=False)
+            final = final + jax.nn.softmax(logit, axis=-1)
+    return jnp.argmax(final, axis=-1).astype(jnp.int32)

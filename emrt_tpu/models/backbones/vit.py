@@ -1,0 +1,86 @@
+"""Vision Transformer backbone (reference: src/models/backbones/vit.py).
+
+Plain ViT: conv patch embed, cls token + learned position embedding,
+pre-norm transformer blocks, multi-tap feature output at OUT_INDICES.
+TPU-first: tokens [bs, N, D] with fused MHSA on the MXU; optional cls-token
+drop for SETR (reference vit.py:75-94); position embedding resized on load
+for other resolutions (handled in checkpoint loader).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..layers import Mlp, MultiHeadAttention, xavier_uniform
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = MultiHeadAttention(self.dim, self.num_heads,
+                               dropout=self.attn_dropout, dtype=self.dtype,
+                               name="attn")(h, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=nn.gelu,
+                dropout=self.dropout, dtype=self.dtype,
+                name="mlp")(h, deterministic=deterministic)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """Returns a list of token maps [bs, H/p, W/p, D] at out_indices."""
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_indices: Sequence[int] = (9, 14, 19, 23)
+    keep_cls_token: bool = False
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+        x = nn.Conv(self.hidden_size,
+                    (self.patch_size, self.patch_size),
+                    strides=self.patch_size, padding="VALID",
+                    dtype=self.dtype, kernel_init=xavier_uniform,
+                    name="patch_embed")(x.astype(self.dtype))
+        x = x.reshape(b, gh * gw, self.hidden_size)
+
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, self.hidden_size))
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype),
+                                              (b, 1, self.hidden_size)), x], 1)
+        pos = self.param("pos_embed",
+                         nn.initializers.truncated_normal(0.02),
+                         (1, gh * gw + 1, self.hidden_size))
+        x = x + pos.astype(self.dtype)
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+
+        feats = []
+        for i in range(self.num_layers):
+            x = ViTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                         self.dropout, self.attn_dropout, dtype=self.dtype,
+                         name=f"block{i}")(x, deterministic=not train)
+            if i in self.out_indices:
+                tokens = x if self.keep_cls_token else x[:, 1:]
+                feats.append(tokens[:, -gh * gw:].reshape(b, gh, gw,
+                                                          self.hidden_size))
+        if not feats:
+            feats.append(x[:, 1:].reshape(b, gh, gw, self.hidden_size))
+        return feats

@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emrt_tpu.models.deformable_transformer import (EncoderDecoder,
+                                                    MSDeformableAttention,
+                                                    levels_to_tokens,
+                                                    tokens_to_levels)
+from emrt_tpu.models.position_encoding import (encoder_reference_points,
+                                               sine_position_embedding)
+
+
+def test_sine_position_embedding_matches_reference_formula():
+    """Scalar re-derivation of position_encoding.py:59-75 with all-ones mask."""
+    h, w, npf = 3, 4, 8
+    got = np.asarray(sine_position_embedding(h, w, npf)).reshape(h, w, 2 * npf)
+    scale = 2 * np.pi
+    eps = 1e-6
+    dim_t = 10000.0 ** (2 * (np.arange(npf) // 2) / npf)
+    for i in range(h):
+        for j in range(w):
+            y = (i + 1 - 0.5) / (h + eps) * scale
+            x = (j + 1 - 0.5) / (w + eps) * scale
+            py, px = y / dim_t, x / dim_t
+            exp_y = np.stack([np.sin(py[0::2]), np.cos(py[1::2])], 1).reshape(-1)
+            exp_x = np.stack([np.sin(px[0::2]), np.cos(px[1::2])], 1).reshape(-1)
+            np.testing.assert_allclose(got[i, j, :npf], exp_y, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(got[i, j, npf:], exp_x, rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_reference_points_grid():
+    refs = np.asarray(encoder_reference_points(((2, 2), (1, 1))))
+    assert refs.shape == (5, 2, 2)
+    # first token of the 2x2 level: center (0.5/2, 0.5/2)
+    np.testing.assert_allclose(refs[0, 0], [0.25, 0.25])
+    np.testing.assert_allclose(refs[3, 0], [0.75, 0.75])
+    # the 1x1 level token: center (0.5, 0.5)
+    np.testing.assert_allclose(refs[4, 0], [0.5, 0.5])
+
+
+def test_tokens_levels_roundtrip():
+    shapes = ((4, 4), (2, 2))
+    x = jnp.arange(2 * 20 * 3, dtype=jnp.float32).reshape(2, 20, 3)
+    maps = tokens_to_levels(x, shapes)
+    assert maps[0].shape == (2, 4, 4, 3) and maps[1].shape == (2, 2, 2, 3)
+    back = levels_to_tokens(maps)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_ms_deformable_attention_init_and_shape():
+    module = MSDeformableAttention(embed_dim=32, num_heads=4, num_levels=2,
+                                   num_points=3)
+    shapes = ((4, 4), (2, 2))
+    lv = 20
+    q = jnp.ones((2, 5, 32))
+    ref = jnp.full((2, 5, 2, 2), 0.5)
+    v = jnp.ones((2, lv, 32))
+    vars_ = module.init(jax.random.key(0), q, ref, v, shapes)
+    out = module.apply(vars_, q, ref, v, shapes)
+    assert out.shape == (2, 5, 32)
+    # offsets kernel must init to zeros, bias to the rotated grid
+    k = vars_["params"]["sampling_offsets"]["kernel"]
+    b = vars_["params"]["sampling_offsets"]["bias"]
+    assert float(jnp.abs(k).max()) == 0.0
+    b = np.asarray(b).reshape(4, 2, 3, 2)
+    # head 0 points along (cos0, sin0) = (1, 0), scaled 1..3
+    np.testing.assert_allclose(b[0, 0, :, 0], [1, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(b[0, 0, :, 1], [0, 0, 0], atol=1e-5)
+
+
+def test_encoder_decoder_shapes():
+    module = EncoderDecoder(num_queries=5, hidden_dim=32, nhead=4,
+                            num_feature_levels=2, num_encoder_layers=1,
+                            num_decoder_layers=1, num_encoder_points=2,
+                            num_decoder_points=2, dim_feedforward=64)
+    feats = [jnp.ones((2, 4, 4, 8)), jnp.ones((2, 2, 2, 16))]
+    psp = jnp.ones((2, 5, 32))
+    vars_ = module.init({"params": jax.random.key(0)}, feats, psp)
+    hs, memory = module.apply(vars_, feats, psp)
+    assert hs.shape == (2, 5, 32)
+    assert memory.shape == (2, 20, 32)
+
+
+@pytest.mark.slow
+def test_emrt_forward_shapes():
+    from emrt_tpu.models.emrt import EMRT
+    model = EMRT(num_classes=6, backbone="resnet50")
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = model.init({"params": jax.random.key(0)}, x, train=False)
+    main, aux = model.apply(vars_, x, train=False)
+    assert main.shape == (1, 64, 64, 6)
+    assert aux.shape == (1, 64, 64, 6)

@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Training CLI (reference contract: semantic_segmentation/train.py).
+
+Usage: python3 train.py --config configs/EMRT/EMRT_256x256_160k_potsdam.yaml [--seed 0]
+
+TPU-native training loop: jitted+donated train step over a data-parallel
+jax.sharding mesh, prefetching host pipeline, windowed loss/ips logging,
+periodic in-training eval with best-mIoU tracking, keep-K checkpoint
+rotation, and real resume (--resume).
+"""
+from __future__ import annotations
+
+import argparse
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emrt_tpu.config import get_config, update_config
+from emrt_tpu.data import DataLoader, get_dataset, get_transforms
+from emrt_tpu.inference import build_val_transforms, evaluate
+from emrt_tpu.losses import get_loss_function
+from emrt_tpu.models import get_model
+from emrt_tpu.parallel import batch_sharding, create_mesh
+from emrt_tpu.solver import get_optimizer, get_scheduler
+from emrt_tpu.train import create_train_state, make_forward, make_train_step, num_params
+from emrt_tpu.utils import TimeAverager, Timer, calculate_eta, logger
+from emrt_tpu.utils.checkpoint import CheckpointManager
+
+
+def parse_args():
+    parser = argparse.ArgumentParser("EMRT-TPU training")
+    parser.add_argument("--config", dest="cfg", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in SAVE_DIR")
+    parser.add_argument("--iters", type=int, default=None,
+                        help="override TRAIN.ITERS (smoke runs)")
+    parser.add_argument("opts", nargs="*", help="KEY VALUE config overrides")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    config = update_config(get_config(), args)
+    if args.seed is not None:
+        config.SEED = args.seed
+    if args.iters is not None:
+        config.TRAIN.ITERS = args.iters
+
+    random.seed(config.SEED)
+    np.random.seed(config.SEED)
+    rng = jax.random.key(config.SEED)
+
+    mesh = create_mesh(config.PARALLEL.DATA, config.PARALLEL.MODEL)
+    n_data = mesh.shape["data"]
+    logger.info(f"devices: {jax.device_count()} mesh: data={n_data} "
+                f"model={mesh.shape['model']}")
+
+    # model + solver
+    model = get_model(config)
+    schedule = get_scheduler(config)
+    loss_fn = get_loss_function(config)
+
+    # data
+    transforms = get_transforms(config)
+    train_dataset = get_dataset(config, transforms, mode="train")
+    val_dataset = get_dataset(config, build_val_transforms(config), mode="val")
+    global_batch = config.DATA.BATCH_SIZE * n_data
+    sharding = batch_sharding(mesh)
+    loader = DataLoader(train_dataset, global_batch,
+                        iterations=config.TRAIN.ITERS, seed=config.SEED,
+                        num_workers=max(2, config.DATA.NUM_WORKERS),
+                        sharding=sharding)
+    logger.info(f"train samples: {len(train_dataset)} "
+                f"val samples: {len(val_dataset)} "
+                f"global batch: {global_batch}")
+
+    # init state (replicated over mesh)
+    ch, cw = config.DATA.CROP_SIZE
+    sample = {"image": jnp.zeros((global_batch, ch, cw, 3), jnp.float32)}
+    init_rng, rng = jax.random.split(jax.random.key(config.SEED))
+    from emrt_tpu.train.state import init_variables
+    variables = init_variables(model, init_rng, sample["image"])
+    tx = get_optimizer(config, schedule, params=variables["params"],
+                       decoder_lr_coef=config.TRAIN.DECODER_LR_COEF)
+    from emrt_tpu.train.state import TrainState
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]), tx=tx)
+    logger.info(f"model params: {num_params(state.params) / 1e6:.2f}M")
+
+    ckpt = CheckpointManager(config.SAVE_DIR, config.KEEP_CHECKPOINT_MAX)
+    start_iter = 0
+    if args.resume:
+        state, start_iter = ckpt.restore(state)
+        loader.start_iter = start_iter
+
+    train_step = make_train_step(model, loss_fn, donate=config.TRAIN.DONATE)
+    forward = make_forward(model)
+
+    def eval_forward(images):
+        return forward(state.params, state.batch_stats, images)
+
+    batch_cost = TimeAverager()
+    reader_cost = TimeAverager()
+    timer = Timer()
+    it = start_iter
+    for batch in loader:
+        reader_cost.record(timer.restart())
+        it += 1
+        state, metrics = train_step(state, batch, rng)
+        if it % config.LOGGING_INFO_FREQ == 0 or it == config.TRAIN.ITERS:
+            jax.block_until_ready(metrics["loss"])
+        batch_cost.record(timer.restart(), num_samples=global_batch)
+
+        if it % config.LOGGING_INFO_FREQ == 0:
+            lr = float(schedule(jnp.asarray(it)))
+            ips = batch_cost.get_ips_average()
+            eta = calculate_eta(config.TRAIN.ITERS - it, batch_cost.get_average())
+            logger.info(
+                f"[TRAIN] iter {it}/{config.TRAIN.ITERS} "
+                f"loss: {float(metrics['loss']):.4f} lr: {lr:.6f} "
+                f"batch_cost: {batch_cost.get_average():.4f}s "
+                f"reader_cost: {reader_cost.get_average():.4f}s "
+                f"ips: {ips:.1f} ETA {eta}")
+            batch_cost.reset()
+            reader_cost.reset()
+
+        if it % config.SAVE_FREQ_CHECKPOINT == 0 or it == config.TRAIN.ITERS:
+            ckpt.save(it, state)
+        if it % config.VALIDATE_FREQ == 0 or it == config.TRAIN.ITERS:
+            result = evaluate(eval_forward, val_dataset, config)
+            ckpt.save_best(state, result["miou"])
+
+    logger.info(f"training done; best mIoU {ckpt.best_miou:.4f}")
+
+
+if __name__ == "__main__":
+    main()

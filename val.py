@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Standalone evaluation CLI (reference contract: semantic_segmentation/val.py).
+
+Usage: python3 val.py --config <yaml> --model_path <best_model dir>
+       [--multi_scales] [KEY VALUE ...]
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from emrt_tpu.config import get_config, update_config
+from emrt_tpu.data import get_dataset
+from emrt_tpu.inference import build_val_transforms, evaluate
+from emrt_tpu.models import get_model
+from emrt_tpu.train import make_forward, num_params
+from emrt_tpu.utils import logger
+from emrt_tpu.utils.checkpoint import load_model_weights
+
+
+def parse_args():
+    parser = argparse.ArgumentParser("EMRT-TPU evaluation")
+    parser.add_argument("--config", dest="cfg", type=str, required=True)
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="best_model-style checkpoint dir")
+    parser.add_argument("--multi_scales", action="store_true")
+    parser.add_argument("opts", nargs="*")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    config = update_config(get_config(), args)
+
+    model = get_model(config)
+    size = config.VAL.IMAGE_BASE_SIZE or config.DATA.CROP_SIZE[0]
+    if isinstance(size, int):
+        size = (size, size)
+    sample = jnp.zeros((1,) + tuple(size) + (3,), jnp.float32)
+    from emrt_tpu.train.state import init_variables
+    variables = init_variables(model, jax.random.key(0), sample)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    if args.model_path:
+        params, batch_stats = load_model_weights(args.model_path, params, batch_stats)
+        logger.info(f"loaded weights from {args.model_path}")
+    logger.info(f"model params: {num_params(params) / 1e6:.2f}M")
+
+    forward_fn = make_forward(model)
+
+    def forward(images):
+        return forward_fn(params, batch_stats, images)
+
+    dataset = get_dataset(config, build_val_transforms(config), mode="val")
+    result = evaluate(forward, dataset, config,
+                      multi_scales=args.multi_scales or config.VAL.MULTI_SCALES_VAL)
+    logger.info(f"final mIoU: {result['miou']:.4f} Acc: {result['acc']:.4f} "
+                f"Kappa: {result['kappa']:.4f} mF1: {result['mf1']:.4f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()
