@@ -3,8 +3,12 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 North star (BASELINE.json): >=5k tiles/sec sliding-window inference on
-v5e-8, i.e. 625 tiles/sec/chip — vs_baseline is measured against that
-per-chip target. Also reports train-step throughput in extra fields.
+v5e-8, i.e. 625 tiles/sec/chip — vs_baseline measures against that
+per-chip target. Also reports train-step throughput.
+
+Timing note: each iteration's input depends on the previous output
+(a chained scalar), forcing serial execution — plain dispatch loops
+over-report on asynchronous remote backends.
 """
 from __future__ import annotations
 
@@ -18,24 +22,13 @@ import numpy as np
 BASELINE_TILES_PER_SEC_PER_CHIP = 625.0  # 5000 / 8 chips (BASELINE.json target)
 
 
-def _timeit(fn, *args, warmup=3, iters=10):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def main():
     from emrt_tpu.config import get_config
     from emrt_tpu.losses import get_loss_function
     from emrt_tpu.models import get_model
     from emrt_tpu.solver import get_optimizer, get_scheduler
     from emrt_tpu.train import make_train_step
-    from emrt_tpu.train.state import TrainState
+    from emrt_tpu.train.state import TrainState, init_variables
 
     cfg = get_config()
     cfg.DATA.DATASET = "Synthetic"
@@ -51,21 +44,27 @@ def main():
     model = get_model(cfg)
     rng = jax.random.key(0)
 
+    # ---- inference: chained forward ----
     infer_bs = 32
-    x_inf = jnp.asarray(np.random.default_rng(0).uniform(
+    x = jnp.asarray(np.random.default_rng(0).uniform(
         -2, 2, (infer_bs, 256, 256, 3)).astype(np.float32))
-    from emrt_tpu.train.state import init_variables
-    variables = init_variables(model, rng, x_inf[:1])
+    variables = init_variables(model, rng, x[:1])
 
     @jax.jit
-    def forward(images):
-        out = model.apply(variables, images, train=False)
-        return out[0]
+    def forward_chained(x):
+        out = model.apply(variables, x, train=False)[0]
+        return x + out.mean().astype(x.dtype) * 1e-9
 
-    t_inf = _timeit(forward, x_inf)
-    infer_ips = infer_bs / t_inf
+    y = forward_chained(x)
+    y.block_until_ready()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = forward_chained(y)
+    y.block_until_ready()
+    infer_ips = infer_bs * iters / (time.perf_counter() - t0)
 
-    # train step
+    # ---- training: chained step ----
     train_bs = 8
     batch = {
         "image": jnp.asarray(np.random.default_rng(1).uniform(
@@ -81,12 +80,14 @@ def main():
                        opt_state=tx.init(variables["params"]), tx=tx)
     train_step = make_train_step(model, get_loss_function(cfg), donate=False)
 
-    def step_fn(s, b):
-        s2, m = train_step(s, b, rng)
-        return m["loss"]
-
-    t_train = _timeit(step_fn, state, batch, warmup=3, iters=10)
-    train_ips = train_bs / t_train
+    state, m = train_step(state, batch, rng)   # state chains across steps
+    jax.block_until_ready(m["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = train_step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    train_ips = train_bs * iters / (time.perf_counter() - t0)
 
     value = round(infer_ips, 1)
     print(json.dumps({

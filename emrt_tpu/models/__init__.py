@@ -10,10 +10,16 @@ import jax.numpy as jnp
 from .emrt import EMRT, build_emrt
 
 
-def get_model(config, dtype=None, use_pallas: bool = False):
-    """Build a model (Flax module) from config.MODEL.NAME."""
+def get_model(config, dtype=None, use_pallas: bool | None = None):
+    """Build a model (Flax module) from config.MODEL.NAME.
+
+    use_pallas: None -> auto (fused deformable-attention kernel on TPU,
+    jnp gather path elsewhere)."""
     if dtype is None:
         dtype = jnp.bfloat16 if getattr(config.TRAIN, "DTYPE", "float32") == "bfloat16" else jnp.float32
+    if use_pallas is None:
+        import jax
+        use_pallas = jax.default_backend() == "tpu"
     name = config.MODEL.NAME
     if "EMRT" in name:
         return build_emrt(config, dtype=dtype, use_pallas=use_pallas)

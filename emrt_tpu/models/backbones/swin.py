@@ -112,9 +112,16 @@ class SwinBlock(nn.Module):
 
         shortcut = x
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        # pad to window multiples (reference pads feature maps for
+        # segmentation-sized inputs)
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
         windows = window_partition(x, ws)
@@ -122,9 +129,11 @@ class SwinBlock(nn.Module):
                                self.attn_dropout, self.dropout,
                                dtype=self.dtype, name="attn")(
             windows, mask, deterministic=deterministic)
-        x = window_reverse(attn, ws, h, w)
+        x = window_reverse(attn, ws, hp, wp)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :h, :w]
         x = shortcut + DropPath(self.drop_path)(x, deterministic=deterministic)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=nn.gelu,

@@ -47,6 +47,7 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     out_indices: Sequence[int] = (9, 14, 19, 23)
     keep_cls_token: bool = False
+    return_cls: bool = False      # also return per-tap cls tokens (DPT readout)
     dropout: float = 0.0
     attn_dropout: float = 0.0
     dtype: Any = jnp.float32
@@ -73,6 +74,7 @@ class VisionTransformer(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
 
         feats = []
+        cls_taps = []
         for i in range(self.num_layers):
             x = ViTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
                          self.dropout, self.attn_dropout, dtype=self.dtype,
@@ -81,6 +83,10 @@ class VisionTransformer(nn.Module):
                 tokens = x if self.keep_cls_token else x[:, 1:]
                 feats.append(tokens[:, -gh * gw:].reshape(b, gh, gw,
                                                           self.hidden_size))
+                cls_taps.append(x[:, 0])
         if not feats:
             feats.append(x[:, 1:].reshape(b, gh, gw, self.hidden_size))
+            cls_taps.append(x[:, 0])
+        if self.return_cls:
+            return feats, cls_taps
         return feats

@@ -1,0 +1,56 @@
+"""Golden tests of the fused Pallas deformable-attention kernel against the
+jnp reference implementation (interpret mode — runs on any backend)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emrt_tpu.ops.deformable import deformable_attention_core
+from emrt_tpu.ops.deformable_pallas import deformable_attention_pallas
+
+
+@pytest.fixture(scope="module")
+def problem():
+    bs, nh, c, P = 2, 4, 32, 6
+    shapes = ((8, 8), (4, 4))
+    lv = sum(h * w for h, w in shapes)
+    lq = 80
+    rng = np.random.default_rng(0)
+    value = jnp.asarray(rng.standard_normal((bs, lv, nh, c)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (bs, lq, nh, 2, P, 2)).astype(np.float32))
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((bs, lq, nh, 2 * P)).astype(np.float32))
+    ).reshape(bs, lq, nh, 2, P)
+    return shapes, value, loc, attn
+
+
+def test_pallas_forward_matches_reference(problem):
+    shapes, value, loc, attn = problem
+    ref = deformable_attention_core(value, shapes, loc, attn)
+    out = deformable_attention_pallas(value, shapes, loc, attn, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_grads_match_reference(problem):
+    shapes, value, loc, attn = problem
+
+    def loss_ref(v, l, a):
+        return jnp.sum(deformable_attention_core(v, shapes, l, a) ** 2)
+
+    def loss_pal(v, l, a):
+        return jnp.sum(deformable_attention_pallas(v, shapes, l, a, True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(value, loc, attn)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(value, loc, attn)
+    for a, b in zip(gr, gp):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_oob_zeros(problem):
+    shapes, value, loc, attn = problem
+    loc_oob = jnp.full_like(loc, 7.0)
+    out = deformable_attention_pallas(value, shapes, loc_oob, attn, True)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)

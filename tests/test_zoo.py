@@ -58,3 +58,83 @@ def test_fcn_shapes():
     vars_ = model.init({"params": jax.random.key(0)}, x, train=False)
     preds = model.apply(vars_, x, train=False)
     assert preds[0].shape == (1, 64, 64, 4)
+
+
+def test_segformer_shapes():
+    from emrt_tpu.models.segformer import Segformer
+    model = Segformer(num_classes=5, embed_dims=(8, 16, 32, 64),
+                      depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                      sr_ratios=(8, 4, 2, 1), head_channels=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = model.init({"params": jax.random.key(0)}, x, train=False)
+    preds = model.apply(vars_, x, train=False)
+    assert preds[0].shape == (1, 64, 64, 5)
+
+
+def test_segmenter_shapes():
+    from emrt_tpu.models.segmenter import Segmenter
+    for dec in ("MaskTransformer", "LinearDecoder"):
+        model = Segmenter(num_classes=5, decoder_type=dec, patch_size=16,
+                          hidden_size=32, num_layers=2, num_heads=2,
+                          seg_num_layers=1)
+        x = jnp.zeros((1, 64, 64, 3))
+        vars_ = model.init({"params": jax.random.key(0)}, x, train=False)
+        preds = model.apply(vars_, x, train=False)
+        assert preds[0].shape == (1, 64, 64, 5)
+
+
+def test_upernet_swin_shapes():
+    from emrt_tpu.models.upernet import UperNet
+    model = UperNet(num_classes=5, encoder_type="SwinTransformer",
+                    embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                    window_size=4, uper_channels=32, aux_channels=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = model.init({"params": jax.random.key(0)}, x, train=False)
+    preds = model.apply(vars_, x, train=False)
+    assert len(preds) == 2
+    assert preds[0].shape == (1, 64, 64, 5)
+    assert preds[1].shape == (1, 64, 64, 5)
+
+
+def test_swin_shifted_window_mask():
+    from emrt_tpu.models.backbones.swin import _shift_attn_mask
+    m = _shift_attn_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    # windows that span shift boundaries must contain -100 entries
+    assert (m == -100.0).any()
+    # the top-left window is contiguous -> fully zero mask
+    assert (m[0] == 0).all()
+
+
+def test_trans2seg_shapes():
+    from emrt_tpu.models.trans2seg import Trans2Seg
+    model = Trans2Seg(num_classes=4, backbone="resnet50c", output_stride=16,
+                      embed_dim=32, depth=1, num_heads=4, hid_dim=8)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = model.init({"params": jax.random.key(0)}, x, train=False)
+    preds = model.apply(vars_, x, train=False)
+    assert preds[0].shape == (1, 64, 64, 4)
+
+
+def test_dpt_shapes():
+    from emrt_tpu.models.dpt import DPTSeg
+    for readout in ("ignore", "add", "project"):
+        model = DPTSeg(num_classes=4, readout=readout, patch_size=16,
+                       hidden_size=32, num_layers=4, num_heads=2,
+                       out_indices=(0, 1, 2, 3),
+                       hidden_features=(8, 16, 32, 32), features=16)
+        x = jnp.zeros((1, 64, 64, 3))
+        vars_ = model.init({"params": jax.random.key(0)}, x, train=False)
+        preds = model.apply(vars_, x, train=False)
+        assert preds[0].shape == (1, 64, 64, 4)
+
+
+def test_cswin_backbone_shapes():
+    from emrt_tpu.models.backbones.cswin import CSwinTransformer
+    m = CSwinTransformer(embed_dim=16, depths=(1, 1, 1, 1),
+                         num_heads=(2, 2, 4, 8), split_sizes=(1, 2, 4, 4))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    feats = m.apply(v, x, train=False)
+    assert [f.shape for f in feats] == [(1, 16, 16, 16), (1, 8, 8, 32),
+                                        (1, 4, 4, 64), (1, 2, 2, 128)]
