@@ -36,60 +36,47 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _point_taps(lx, ly, h, w):
-    """Per-point pixel taps from [tq] x/y normalized coords."""
-    x = lx * w - 0.5
-    y = ly * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    return x0, y0, fx, fy
+def _expansion_tables(h, w, tq):
+    """Constant flat-index coordinate tables: col(k) = k % w, row(k) = k // w."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, h * w), 1)
+    return (iota % w).astype(jnp.float32), (iota // w).astype(jnp.float32)
 
 
-def _corners(x0, y0, fx, fy, h, w):
-    """4 corner (flat_index, weight_x, weight_y, valid) tuples.
-
-    flat indices are clamped; validity is folded into the weights so a
-    clamped hit contributes zero (zeros-padding grid_sample semantics)."""
-    out = []
-    for dy, wy in ((0, 1.0 - fy), (1, fy)):
-        for dx, wx in ((0, 1.0 - fx), (1, fx)):
-            xi = x0 + dx
-            yi = y0 + dy
-            valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)).astype(jnp.float32)
-            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-            out.append((idx, wx, wy, valid, dx, dy))
-    return out
+def _hat(dist):
+    """Bilinear (triangle) weight: relu(1 - |dist|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(dist))
 
 
-def _accum_point_m(m_ref, lx, ly, attn_p, h, w, iota, first):
-    """Add one sampling point's 4 bilinear corners into the M scratch.
+def _accum_point_m(m_ref, lx, ly, attn_p, h, w, tables, first):
+    """Add one sampling point's bilinear footprint into the M scratch.
 
-    The point loop lives in the pallas GRID, not unrolled in the kernel
-    body: Mosaic's compile helper falls over past ~8 unrolled [tq, 1024]
-    corner accumulations, so each grid step handles one point."""
-    x0, y0, fx, fy = _point_taps(lx.astype(jnp.float32),
-                                 ly.astype(jnp.float32), h, w)
+    The footprint is a separable 2-D hat (triangle) kernel — exactly the
+    4-corner bilinear weight, with out-of-range taps vanishing
+    automatically (zeros-padding grid_sample semantics). The
+    footprint is evaluated against constant flat row/col coordinate
+    tables with a handful of VPU passes per point. Accumulating through the
+    scratch ref (not SSA) keeps Mosaic register pressure flat — long
+    unrolled SSA chains at hw >= 1024 crash the compile helper."""
+    col_t, row_t = tables
+    x_pix = lx.astype(jnp.float32) * w - 0.5
+    y_pix = ly.astype(jnp.float32) * h - 0.5
     a = attn_p.astype(jnp.float32)
 
     @pl.when(first)
     def _():
         m_ref[:] = jnp.zeros_like(m_ref[:])
 
-    for idx, wx, wy, valid, _, _ in _corners(x0, y0, fx, fy, h, w):
-        wgt = (wx * wy * valid * a)[:, None]
-        m_ref[:] += (iota == idx[:, None]).astype(jnp.float32) * wgt
+    wx = _hat(col_t - x_pix[:, None])
+    wy = _hat(row_t - y_pix[:, None])
+    m_ref[:] += (a[:, None] * wx) * wy
 
 
 def _fwd_kernel(v_ref, locx_ref, locy_ref, attn_ref, out_ref, m_scratch,
                 *, h, w, tq, n_points):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, h * w), 1)
+    tables = _expansion_tables(h, w, tq)
     for p in range(n_points):
         _accum_point_m(m_scratch, locx_ref[0, p, :], locy_ref[0, p, :],
-                       attn_ref[0, p, :], h, w, iota, p == 0)
+                       attn_ref[0, p, :], h, w, tables, p == 0)
     v = v_ref[0].astype(jnp.float32)                         # [h*w, c]
     out_ref[0] = jnp.dot(m_scratch[:], v, preferred_element_type=jnp.float32
                          ).astype(out_ref.dtype)
@@ -108,10 +95,10 @@ def _gv_kernel(locx_ref, locy_ref, attn_ref, g_ref, gv_ref, m_scratch,
     def _():
         gv_ref[0] = jnp.zeros_like(gv_ref[0])
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, h * w), 1)
+    tables = _expansion_tables(h, w, tq)
     for p in range(n_points):
         _accum_point_m(m_scratch, locx_ref[0, p, :], locy_ref[0, p, :],
-                       attn_ref[0, p, :], h, w, iota, p == 0)
+                       attn_ref[0, p, :], h, w, tables, p == 0)
     g = g_ref[0].astype(jnp.float32)                         # [tq, c]
     gv_ref[0] += jax.lax.dot_general(
         m_scratch[:], g, (((0,), (0,)), ((), ())),
@@ -131,28 +118,29 @@ def _gla_kernel(vt_ref, locx_ref, locy_ref, attn_ref, g_ref, gattn_ref,
                             preferred_element_type=jnp.float32)
     gm = gm_scratch[:]
     iota = jax.lax.broadcasted_iota(jnp.int32, (tq, h * w), 1)
+    col_t = (iota % w).astype(jnp.float32)
+    row_t = (iota // w).astype(jnp.float32)
     for p in range(n_points):
         lx = locx_ref[0, p, :].astype(jnp.float32)            # [tq]
         ly = locy_ref[0, p, :].astype(jnp.float32)
         attn_p = attn_ref[0, p, :].astype(jnp.float32)
-        x0, y0, fx, fy = _point_taps(lx, ly, h, w)
-        ga = jnp.zeros((tq, 1), jnp.float32)
-        gx = jnp.zeros((tq, 1), jnp.float32)
-        gy = jnp.zeros((tq, 1), jnp.float32)
-        for idx, wx, wy, valid, dx, dy in _corners(x0, y0, fx, fy, h, w):
-            # s[q] = sum_k gm[q,k] * onehot(idx[q])[k]  (kept 2D: [tq, 1])
-            s = jnp.sum(jnp.where(iota == idx[:, None], gm, 0.0), axis=1,
-                        keepdims=True)
-            s = s * valid[:, None]
-            ga = ga + (wx * wy)[:, None] * s
-            # d(wx)/dx_pix: corner at x0 -> -1, at x0+1 -> +1
-            tx = wy[:, None] * s
-            gx = gx + tx if dx == 1 else gx - tx
-            ty = wx[:, None] * s
-            gy = gy + ty if dy == 1 else gy - ty
-        gattn_ref[0, p, :] = ga[:, 0].astype(gattn_ref.dtype)
-        glocx_ref[0, p, :] = (attn_p * (w * gx[:, 0])).astype(glocx_ref.dtype)
-        glocy_ref[0, p, :] = (attn_p * (h * gy[:, 0])).astype(glocy_ref.dtype)
+        x_pix = lx * w - 0.5
+        y_pix = ly * h - 0.5
+        # separable hat weights and their x/y derivatives
+        dxs = col_t - x_pix[:, None]
+        dys = row_t - y_pix[:, None]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dys))
+        # d(wx)/dx_pix = sign(dxs) on the open support, 0 outside
+        dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
+        dwy = jnp.where(wy > 0.0, jnp.sign(dys), 0.0)
+        gmwy = gm * wy
+        ga = jnp.sum(gmwy * wx, axis=1)
+        gx = jnp.sum(gmwy * dwx, axis=1)
+        gy = jnp.sum(gm * wx * dwy, axis=1)
+        gattn_ref[0, p, :] = ga.astype(gattn_ref.dtype)
+        glocx_ref[0, p, :] = (attn_p * (w * gx)).astype(glocx_ref.dtype)
+        glocy_ref[0, p, :] = (attn_p * (h * gy)).astype(glocy_ref.dtype)
 
 
 def _level_specs(hw, c, tq, n_points):
@@ -234,7 +222,7 @@ def _level_bwd(v, loc, attn, g, h, w, tq, interpret=False):
 def _pick_tile(lq: int) -> int:
     # small tiles keep the 24-corner unrolled accumulation within Mosaic's
     # vector-register budget (big tiles crash the compile helper)
-    for t in (128, 256):
+    for t in (256, 128):
         if lq % t == 0:
             return t
     return lq  # small/odd cases: one tile per call (padded by caller)
@@ -254,7 +242,7 @@ def deformable_attention_pallas(value, spatial_shapes, sampling_locations,
 
 def _pad_queries(loc_all, attn_all, g=None):
     lq = loc_all.shape[1]
-    tq = _pick_tile(lq if lq % 128 == 0 else _round_up(lq, 128))
+    tq = 128 if lq >= 128 else _round_up(lq, 128)
     lq_pad = _round_up(lq, tq)
     pad = lq_pad - lq
     if pad:
