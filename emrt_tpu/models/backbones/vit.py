@@ -39,11 +39,15 @@ class ViTBlock(nn.Module):
 
 
 class VisionTransformer(nn.Module):
-    """Returns a list of token maps [bs, H/p, W/p, D] at out_indices."""
+    """Returns a list of token maps [bs, H/p, W/p, D] at out_indices.
+
+    num_prefix_tokens=2 gives the DeiT layout (cls + distill token,
+    reference src/models/backbones/deit.py)."""
     patch_size: int = 16
     hidden_size: int = 768
     num_layers: int = 12
     num_heads: int = 12
+    num_prefix_tokens: int = 1
     mlp_ratio: float = 4.0
     out_indices: Sequence[int] = (9, 14, 19, 23)
     keep_cls_token: bool = False
@@ -63,13 +67,14 @@ class VisionTransformer(nn.Module):
                     name="patch_embed")(x.astype(self.dtype))
         x = x.reshape(b, gh * gw, self.hidden_size)
 
+        npt = self.num_prefix_tokens
         cls = self.param("cls_token", nn.initializers.zeros,
-                         (1, 1, self.hidden_size))
+                         (1, npt, self.hidden_size))
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype),
-                                              (b, 1, self.hidden_size)), x], 1)
+                                              (b, npt, self.hidden_size)), x], 1)
         pos = self.param("pos_embed",
                          nn.initializers.truncated_normal(0.02),
-                         (1, gh * gw + 1, self.hidden_size))
+                         (1, gh * gw + npt, self.hidden_size))
         x = x + pos.astype(self.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
 
@@ -80,12 +85,12 @@ class VisionTransformer(nn.Module):
                          self.dropout, self.attn_dropout, dtype=self.dtype,
                          name=f"block{i}")(x, deterministic=not train)
             if i in self.out_indices:
-                tokens = x if self.keep_cls_token else x[:, 1:]
+                tokens = x if self.keep_cls_token else x[:, npt:]
                 feats.append(tokens[:, -gh * gw:].reshape(b, gh, gw,
                                                           self.hidden_size))
                 cls_taps.append(x[:, 0])
         if not feats:
-            feats.append(x[:, 1:].reshape(b, gh, gw, self.hidden_size))
+            feats.append(x[:, npt:].reshape(b, gh, gw, self.hidden_size))
             cls_taps.append(x[:, 0])
         if self.return_cls:
             return feats, cls_taps

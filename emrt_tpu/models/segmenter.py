@@ -94,6 +94,7 @@ class Segmenter(nn.Module):
         feats = VisionTransformer(
             patch_size=self.patch_size, hidden_size=self.hidden_size,
             num_layers=self.num_layers, num_heads=self.num_heads,
+            num_prefix_tokens=2 if self.distilled else 1,  # DeiT layout
             mlp_ratio=self.mlp_ratio, out_indices=(self.num_layers - 1,),
             dropout=self.dropout, attn_dropout=self.attn_dropout,
             dtype=self.dtype, name="encoder")(x, train)

@@ -138,3 +138,59 @@ def test_cswin_backbone_shapes():
     feats = m.apply(v, x, train=False)
     assert [f.shape for f in feats] == [(1, 16, 16, 16), (1, 8, 8, 32),
                                         (1, 4, 4, 64), (1, 2, 2, 128)]
+
+
+def test_emrt_backbone_variants():
+    from emrt_tpu.config import get_config
+    from emrt_tpu.models import get_model
+    # cswin variant exercises the shared EncoderDecoder with
+    # transformer-backbone channels (no duplicated stack)
+    cfg = get_config()
+    cfg.MODEL.NAME = "EMRT_CSwin"
+    cfg.MODEL.ENCODER.TYPE = "CSwinTransformer"
+    cfg.DATA.NUM_CLASSES = 4
+    cfg.MODEL.TRANS.EMBED_DIM = 16
+    cfg.MODEL.TRANS.STAGE_DEPTHS = [1, 1, 1, 1]
+    cfg.MODEL.TRANS.NUM_HEADS = [2, 2, 4, 8]
+    cfg.MODEL.TRANS.SPLIT_SIZES = [1, 2, 4, 4]
+    model = get_model(cfg, use_pallas=False)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    main, aux = model.apply(v, x, train=False)
+    assert main.shape == (1, 64, 64, 4)
+    assert aux.shape == (1, 64, 64, 4)
+
+
+def test_hrnet_backbone_shapes():
+    from emrt_tpu.models.backbones.hrnet import HRNet
+    m = HRNet(width=8, stage_modules=(1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    c1, st2, st3, st4 = m.apply(v, x, train=False)
+    assert len(st2) == 2 and len(st3) == 3 and len(st4) == 4
+    assert st4[0].shape == (1, 16, 16, 8)      # stride 4, width W
+    assert st4[3].shape == (1, 2, 2, 64)       # stride 32, 8W
+
+
+def test_focal_backbone_shapes():
+    from emrt_tpu.models.backbones.focal import FocalTransformer
+    m = FocalTransformer(embed_dim=16, depths=(1, 1, 1, 1),
+                         num_heads=(1, 2, 4, 8), window_size=4,
+                         expand_sizes=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    feats = m.apply(v, x, train=False)
+    assert [f.shape for f in feats] == [(1, 16, 16, 16), (1, 8, 8, 32),
+                                        (1, 4, 4, 64), (1, 2, 2, 128)]
+
+
+def test_deit_prefix_tokens():
+    from emrt_tpu.models.backbones.vit import VisionTransformer
+    m = VisionTransformer(patch_size=16, hidden_size=32, num_layers=2,
+                          num_heads=2, num_prefix_tokens=2,
+                          out_indices=(1,))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    feats = m.apply(v, x, train=False)
+    assert feats[0].shape == (1, 4, 4, 32)
+    assert v["params"]["cls_token"].shape == (1, 2, 32)
