@@ -84,3 +84,33 @@ def test_dataloader_deterministic():
     b = [b["image"].copy() for b in DataLoader(ds, 4, iterations=3, seed=5, num_workers=2)]
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_color_label_roundtrip():
+    from emrt_tpu.data.color_label import color2label, label2color
+    label = np.random.default_rng(0).integers(0, 6, (16, 16)).astype(np.uint8)
+    color = label2color(label)
+    back = color2label(color)
+    np.testing.assert_array_equal(back, label)
+
+
+def test_progbar_runs(capsys):
+    from emrt_tpu.utils.progbar import Progbar
+    bar = Progbar(target=10)
+    for i in range(1, 11):
+        bar.update(i, values=[("loss", 1.0 / i)])
+    out = capsys.readouterr().out
+    assert "10/10" in out
+
+
+def test_flops_counting():
+    import jax.numpy as jnp
+    from emrt_tpu.models.fcn import FCN
+    from emrt_tpu.utils.flops import forward_cost
+    import jax
+    model = FCN(num_classes=4, backbone="resnet50c", output_stride=32)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    cost = forward_cost(model, v, (1, 32, 32, 3))
+    assert cost["params"] > 1e6
+    assert cost["flops"] > 1e6 or cost["flops"] == -1.0  # -1 if backend lacks analysis

@@ -135,6 +135,12 @@ def main():
             result = evaluate(eval_forward, val_dataset, config)
             ckpt.save_best(state, result["miou"])
 
+    # final FLOPs/params report (reference train.py:239-260)
+    from emrt_tpu.utils.flops import format_cost, forward_cost
+    cost = forward_cost(model, {"params": state.params,
+                                "batch_stats": state.batch_stats},
+                        (1, ch, cw, 3))
+    logger.info(f"model cost: {format_cost(cost)}")
     logger.info(f"training done; best mIoU {ckpt.best_miou:.4f}")
 
 

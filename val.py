@@ -57,6 +57,11 @@ def main():
                       multi_scales=args.multi_scales or config.VAL.MULTI_SCALES_VAL)
     logger.info(f"final mIoU: {result['miou']:.4f} Acc: {result['acc']:.4f} "
                 f"Kappa: {result['kappa']:.4f} mF1: {result['mf1']:.4f}")
+    # FLOPs / params (reference val.py:211-230, via XLA cost analysis)
+    from emrt_tpu.utils.flops import format_cost, forward_cost
+    cost = forward_cost(model, {"params": params, "batch_stats": batch_stats},
+                        (1,) + tuple(size) + (3,))
+    logger.info(f"model cost: {format_cost(cost)}")
     return result
 
 
