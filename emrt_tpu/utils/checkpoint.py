@@ -78,3 +78,73 @@ def load_model_weights(path: str, params, batch_stats):
                           {"params": params, "batch_stats": batch_stats})
     restored = ckptr.restore(os.path.abspath(path), target=target)
     return restored["params"], restored["batch_stats"]
+
+
+def _interp_pos_embed(value: np.ndarray, target_shape, n_prefix: int = 1):
+    """Bilinearly re-interpolate a [1, N(+prefix), D] ViT position embedding
+    to a new token-grid size (reference checkpoint.py:55-71)."""
+    import math
+
+    from ..ops.resize import resize_bilinear
+
+    src_tokens = value.shape[1]
+    dst_tokens = target_shape[1]
+    prefix = n_prefix if src_tokens != dst_tokens and (
+        int(math.isqrt(src_tokens)) ** 2 != src_tokens) else 0
+    if int(math.isqrt(src_tokens - n_prefix)) ** 2 == src_tokens - n_prefix \
+            and int(math.isqrt(dst_tokens - n_prefix)) ** 2 == dst_tokens - n_prefix:
+        prefix = n_prefix
+    head = value[:, :prefix]
+    grid = value[:, prefix:]
+    gs = int(math.isqrt(grid.shape[1]))
+    ts = int(math.isqrt(dst_tokens - prefix))
+    if gs * gs != grid.shape[1] or ts * ts != dst_tokens - prefix:
+        raise ValueError(f"cannot interpolate pos_embed {value.shape} "
+                         f"-> {tuple(target_shape)}")
+    import jax.numpy as jnp
+    grid2d = jnp.asarray(grid.reshape(1, gs, gs, -1))
+    resized = np.asarray(resize_bilinear(grid2d, (ts, ts)))
+    return np.concatenate([head, resized.reshape(1, ts * ts, -1)], axis=1)
+
+
+def load_pretrained_model(path: str, params, batch_stats=None):
+    """Shape-checked partial weight loading with ViT pos-embed interpolation
+    (reference checkpoint.py:38-93): keys present in both trees are copied;
+    'pos_embed' params with mismatched token counts are bilinearly
+    re-interpolated; everything else mismatched is skipped with a warning."""
+    import flax.traverse_util as tu
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    loaded = tu.flatten_dict(restored.get("params", restored))
+    target = tu.flatten_dict(jax.tree.map(np.asarray, params))
+    matched = skipped = 0
+    for key, tgt in target.items():
+        if key not in loaded:
+            continue
+        src = np.asarray(loaded[key])
+        if src.shape == tgt.shape:
+            target[key] = src
+            matched += 1
+        elif "pos_embed" in key[-1]:
+            try:
+                target[key] = _interp_pos_embed(src, tgt.shape)
+                matched += 1
+                logger.info(f"pos_embed {'/'.join(key)} re-interpolated "
+                            f"{src.shape} -> {tgt.shape}")
+            except ValueError:
+                skipped += 1
+        else:
+            skipped += 1
+            logger.warning(f"skip {'/'.join(key)}: shape {src.shape} "
+                           f"!= {tgt.shape}")
+    logger.info(f"pretrained load: {matched} matched, {skipped} skipped")
+    new_params = tu.unflatten_dict(target)
+    if batch_stats is not None and "batch_stats" in restored:
+        bs_target = tu.flatten_dict(jax.tree.map(np.asarray, batch_stats))
+        bs_loaded = tu.flatten_dict(restored["batch_stats"])
+        for key, tgt in bs_target.items():
+            if key in bs_loaded and np.asarray(bs_loaded[key]).shape == tgt.shape:
+                bs_target[key] = np.asarray(bs_loaded[key])
+        batch_stats = tu.unflatten_dict(bs_target)
+    return new_params, batch_stats
