@@ -114,3 +114,13 @@ def test_flops_counting():
     cost = forward_cost(model, v, (1, 32, 32, 3))
     assert cost["params"] > 1e6
     assert cost["flops"] > 1e6 or cost["flops"] == -1.0  # -1 if backend lacks analysis
+
+
+def test_dataloader_resume_skips_batches():
+    ds = SyntheticDataset(None, num_samples=32, crop_size=(8, 8), num_classes=3)
+    full = [b["image"].copy() for b in DataLoader(ds, 4, iterations=6, seed=9)]
+    resumed = [b["image"].copy()
+               for b in DataLoader(ds, 4, iterations=6, seed=9, start_iter=3)]
+    assert len(resumed) == 3
+    for a, b in zip(full[3:], resumed):
+        np.testing.assert_array_equal(a, b)

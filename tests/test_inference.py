@@ -64,3 +64,36 @@ def test_ms_inference_flip_consistency():
                            (64, 64), (64, 64), 2, scales=(1.0,),
                            flip_horizontal=True)
     np.testing.assert_array_equal(np.asarray(pred_ss), np.asarray(pred_ms))
+
+
+def test_slide_inference_window_batching():
+    """Whole-tile path: many windows chunked into fixed model batches."""
+    calls = []
+
+    def forward(x):
+        calls.append(x.shape[0])
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        return jnp.concatenate([m, -m], axis=-1)
+
+    imgs = jnp.asarray(np.random.default_rng(3)
+                       .standard_normal((1, 96, 96, 3)).astype(np.float32))
+    out = slide_inference(forward, imgs, (32, 32), (32, 32), 2,
+                          window_batch=4)
+    assert out.shape == (1, 96, 96, 2)
+    assert all(c <= 4 for c in calls)          # chunked
+    direct = forward(imgs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ms_inference_multiple_scales():
+    def forward(x):
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        return jnp.concatenate([m, -m], axis=-1)
+
+    imgs = jnp.asarray(np.random.default_rng(4)
+                       .standard_normal((1, 64, 64, 3)).astype(np.float32))
+    pred = ms_inference(forward, imgs, (64, 64), True, (64, 64),
+                        (32, 32), (32, 32), 2, scales=(0.5, 1.0, 1.5),
+                        flip_horizontal=True, flip_vertical=True)
+    assert pred.shape == (1, 64, 64)
