@@ -82,37 +82,25 @@ def _fwd_kernel(v_ref, locx_ref, locy_ref, attn_ref, out_ref, m_scratch,
                          ).astype(out_ref.dtype)
 
 
-def _gv_kernel(locx_ref, locy_ref, attn_ref, g_ref, gv_ref, m_scratch,
-               *, h, w, tq, n_points):
-    """Accumulates gV = M^T @ g over (query tile, point) grid steps.
+def _bwd_kernel(vt_ref, locx_ref, locy_ref, attn_ref, g_ref, gv_ref,
+                gattn_ref, glocx_ref, glocy_ref, m_scratch, gm_scratch,
+                *, h, w, tq, n_points):
+    """Fused backward: gV, g_attn, g_loc in one kernel.
 
-    The sampling matrix is built in forward [tq, hw] layout and the
-    transpose happens inside dot_general — Mosaic hangs on a transposed
-    (lane-indexed) one-hot build but handles the transposed contraction."""
+    Per point, the separable hat weights are built ONCE and reused for the
+    sampling-matrix accumulation (-> gV = M^T @ g on the MXU) and for the
+    three analytic reductions against gM = g @ V^T:
+        g_attn = sum_k (wx*wy) * gM
+        g_locx = attn * W * sum_k (dwx*wy) * gM      (dwx = sign on support)
+        g_locy = attn * H * sum_k (wx*dwy) * gM
+    vt_ref holds V transposed ([c, hw]) so gM is a plain matmul; gV
+    accumulates across query-tile grid steps (zeroed at j == 0)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         gv_ref[0] = jnp.zeros_like(gv_ref[0])
 
-    tables = _expansion_tables(h, w, tq)
-    for p in range(n_points):
-        _accum_point_m(m_scratch, locx_ref[0, p, :], locy_ref[0, p, :],
-                       attn_ref[0, p, :], h, w, tables, p == 0)
-    g = g_ref[0].astype(jnp.float32)                         # [tq, c]
-    gv_ref[0] += jax.lax.dot_general(
-        m_scratch[:], g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(gv_ref.dtype)
-
-
-def _gla_kernel(vt_ref, locx_ref, locy_ref, attn_ref, g_ref, gattn_ref,
-                glocx_ref, glocy_ref, gm_scratch, *, h, w, tq, n_points):
-    """Analytic grads for attention weights and sampling locations.
-
-    One grid step per (tile, point): Mosaic's compile helper crashes past
-    ~8 unrolled [tq, 1024] corner terms, so each step handles 4 corners.
-    gM = g @ V^T is computed once per tile (at p == 0) into scratch;
-    vt_ref holds V transposed ([c, hw]) so that's a plain matmul."""
     g = g_ref[0].astype(jnp.float32)                          # [tq, c]
     gm_scratch[:] = jnp.dot(g, vt_ref[0].astype(jnp.float32),
                             preferred_element_type=jnp.float32)
@@ -120,13 +108,13 @@ def _gla_kernel(vt_ref, locx_ref, locy_ref, attn_ref, g_ref, gattn_ref,
     iota = jax.lax.broadcasted_iota(jnp.int32, (tq, h * w), 1)
     col_t = (iota % w).astype(jnp.float32)
     row_t = (iota // w).astype(jnp.float32)
+    m_scratch[:] = jnp.zeros_like(m_scratch[:])
     for p in range(n_points):
         lx = locx_ref[0, p, :].astype(jnp.float32)            # [tq]
         ly = locy_ref[0, p, :].astype(jnp.float32)
         attn_p = attn_ref[0, p, :].astype(jnp.float32)
         x_pix = lx * w - 0.5
         y_pix = ly * h - 0.5
-        # separable hat weights and their x/y derivatives
         dxs = col_t - x_pix[:, None]
         dys = row_t - y_pix[:, None]
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
@@ -135,12 +123,17 @@ def _gla_kernel(vt_ref, locx_ref, locy_ref, attn_ref, g_ref, gattn_ref,
         dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
         dwy = jnp.where(wy > 0.0, jnp.sign(dys), 0.0)
         gmwy = gm * wy
-        ga = jnp.sum(gmwy * wx, axis=1)
+        wxwy = wx * wy
+        m_scratch[:] += attn_p[:, None] * wxwy
+        ga = jnp.sum(gm * wxwy, axis=1)
         gx = jnp.sum(gmwy * dwx, axis=1)
-        gy = jnp.sum(gm * wx * dwy, axis=1)
+        gy = jnp.sum((gm * wx) * dwy, axis=1)
         gattn_ref[0, p, :] = ga.astype(gattn_ref.dtype)
         glocx_ref[0, p, :] = (attn_p * (w * gx)).astype(glocx_ref.dtype)
         glocy_ref[0, p, :] = (attn_p * (h * gy)).astype(glocy_ref.dtype)
+    gv_ref[0] += jax.lax.dot_general(
+        m_scratch[:], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(gv_ref.dtype)
 
 
 def _level_specs(hw, c, tq, n_points):
@@ -186,28 +179,23 @@ def _level_bwd(v, loc, attn, g, h, w, tq, interpret=False):
     locx = jnp.swapaxes(loc[..., 0], 1, 2)   # [bh, P, lq]
     locy = jnp.swapaxes(loc[..., 1], 1, 2)
     attn = jnp.swapaxes(attn, 1, 2)
-    s = _level_specs(hw, c, tq, n_points)
-    gv = pl.pallas_call(
-        functools.partial(_gv_kernel, h=h, w=w, tq=tq, n_points=n_points),
-        grid=(bh, lq // tq),
-        in_specs=[s["plane"], s["plane"], s["plane"], s["g"]],
-        out_specs=s["gv"],
-        out_shape=jax.ShapeDtypeStruct((bh, hw, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tq, hw), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(locx, locy, attn, g)
     vt = jnp.swapaxes(v, 1, 2)  # [bh, c, hw] so gM = g @ V^T is plain matmul
+    s = _level_specs(hw, c, tq, n_points)
     vt_spec = pl.BlockSpec((1, c, hw), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    gattn, glocx, glocy = pl.pallas_call(
-        functools.partial(_gla_kernel, h=h, w=w, tq=tq, n_points=n_points),
+    gv, gattn, glocx, glocy = pl.pallas_call(
+        functools.partial(_bwd_kernel, h=h, w=w, tq=tq, n_points=n_points),
         grid=(bh, lq // tq),
         in_specs=[vt_spec, s["plane"], s["plane"], s["plane"], s["g"]],
-        out_specs=[s["plane"]] * 3,
-        out_shape=[jax.ShapeDtypeStruct((bh, n_points, lq), jnp.float32)] * 3,
-        scratch_shapes=[pltpu.VMEM((tq, hw), jnp.float32)],
+        out_specs=[s["gv"], s["plane"], s["plane"], s["plane"]],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, hw, c), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_points, lq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_points, lq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_points, lq), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tq, hw), jnp.float32),
+                        pltpu.VMEM((tq, hw), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
