@@ -54,11 +54,21 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.nd
     dtype = x.dtype
     if (out_h, out_w) == (h, w):
         return x[0] if squeeze else x
-    mh = jnp.asarray(_interp_matrix(h, out_h, align_corners), dtype=jnp.float32)
-    mw = jnp.asarray(_interp_matrix(w, out_w, align_corners), dtype=jnp.float32)
-    y = x.astype(jnp.float32)
-    y = jnp.einsum("oh,bhwc->bowc", mh, y, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("ow,bhwc->bhoc", mw, y, precision=jax.lax.Precision.HIGHEST)
+    if dtype == jnp.bfloat16:
+        # inside bf16 model paths ride the MXU at full rate; the interp
+        # weights for the common 2x/0.5x cases are exactly representable
+        compute_dtype = jnp.bfloat16
+        precision = jax.lax.Precision.DEFAULT
+    else:
+        compute_dtype = jnp.float32
+        precision = jax.lax.Precision.HIGHEST
+    mh = jnp.asarray(_interp_matrix(h, out_h, align_corners), dtype=compute_dtype)
+    mw = jnp.asarray(_interp_matrix(w, out_w, align_corners), dtype=compute_dtype)
+    y = x.astype(compute_dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, y, precision=precision,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y, precision=precision,
+                   preferred_element_type=jnp.float32)
     y = y.astype(dtype)
     return y[0] if squeeze else y
 
