@@ -84,7 +84,9 @@ class LoveDA(Dataset):
         return label
 
     def _remap_val_label(self, label):
-        return label - 1
+        # Same convention as train: raw 0 (ignore) must land on 255, not -1
+        # (the reference reads val labels as uint8 where 0-1 wraps to 255).
+        return self._remap_train_label(label)
 
     def _read_val_label(self, label_path):
         return np.asarray(Image.open(label_path))

@@ -105,7 +105,6 @@ class OhemCrossEntropyLoss:
 
         flat_nll = (nll * valid).reshape(-1)
         flat_true_prob = jnp.where(valid, true_prob, 1.0).reshape(-1)
-        hard = flat_true_prob < self.thresh
         k = min(self.min_kept, flat_nll.size)
         # threshold that keeps at least min_kept pixels
         kth_prob = jnp.sort(flat_true_prob)[k - 1]

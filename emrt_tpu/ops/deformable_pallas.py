@@ -207,15 +207,6 @@ def _level_bwd(v, loc, attn, g, h, w, tq, interpret=False):
     return gv, gloc, gattn
 
 
-def _pick_tile(lq: int) -> int:
-    # small tiles keep the 24-corner unrolled accumulation within Mosaic's
-    # vector-register budget (big tiles crash the compile helper)
-    for t in (256, 128):
-        if lq % t == 0:
-            return t
-    return lq  # small/odd cases: one tile per call (padded by caller)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def deformable_attention_pallas(value, spatial_shapes, sampling_locations,
                                 attention_weights, interpret=False):

@@ -23,23 +23,30 @@ def polynomial_decay(base_lr: float, decay_steps: int, end_lr: float = 0.0,
 
 def warmup_poly_lr(base_lr: float, max_iters: int, power: float = 0.9,
                    warmup_steps: int = 0, warmup_init_lr: float = 0.0,
-                   end_lr: float = 0.0):
+                   lr_min: float = 0.0):
+    """Exact reference WarmupPolyLR.get_lr() (lr_scheduler.py:172-184): the
+    poly phase decays (base - warmup_lr_init) toward warmup_lr_init over the
+    post-warmup span, floored at lr_min (config TRAIN.END_LR)."""
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = warmup_init_lr + (base_lr - warmup_init_lr) * step / max(warmup_steps, 1)
         frac = jnp.clip((step - warmup_steps) / max(max_iters - warmup_steps, 1), 0, 1)
-        poly = (base_lr - end_lr) * (1.0 - frac) ** power + end_lr
-        return jnp.where(step < warmup_steps, warm, poly)
+        poly = warmup_init_lr + (base_lr - warmup_init_lr) * (1.0 - frac) ** power
+        return jnp.maximum(jnp.where(step < warmup_steps, warm, poly), lr_min)
     return schedule
 
 
 def warmup_cosine_lr(base_lr: float, max_iters: int, warmup_steps: int = 0,
-                     warmup_init_lr: float = 0.0, end_lr: float = 0.0):
+                     warmup_init_lr: float = 0.0, lr_min: float = 0.0):
+    """Exact reference WarmupCosineLR.get_lr() (lr_scheduler.py:95-118) at its
+    defaults (t_mul=1, decay_rate=1, cycle_limit=0, warmup_prefix=False): the
+    cosine phase uses frac = step / max_iters — NOT shifted by warmup_steps —
+    and decays from base_lr to lr_min (config TRAIN.END_LR)."""
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = warmup_init_lr + (base_lr - warmup_init_lr) * step / max(warmup_steps, 1)
-        frac = jnp.clip((step - warmup_steps) / max(max_iters - warmup_steps, 1), 0, 1)
-        cos = end_lr + 0.5 * (base_lr - end_lr) * (1.0 + jnp.cos(jnp.pi * frac))
+        frac = jnp.clip(step / max(max_iters, 1), 0, 1)
+        cos = lr_min + 0.5 * (base_lr - lr_min) * (1.0 + jnp.cos(jnp.pi * frac))
         return jnp.where(step < warmup_steps, warm, cos)
     return schedule
 

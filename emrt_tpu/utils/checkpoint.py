@@ -27,7 +27,18 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(
             os.path.join(self.save_dir, "checkpoints"), options=options)
         self._best = ocp.StandardCheckpointer()
+        # best_miou is persisted next to best_model so that --resume does not
+        # let the first post-restart validation overwrite a better pre-restart
+        # best (ADVICE r1).
+        self._best_meta = os.path.join(self.save_dir, "best_model.json")
         self.best_miou = -1.0
+        if os.path.exists(self._best_meta):
+            import json
+            try:
+                with open(self._best_meta) as f:
+                    self.best_miou = float(json.load(f)["best_miou"])
+            except (ValueError, KeyError, OSError):
+                pass
 
     def _state_tree(self, state) -> dict:
         return {"params": state.params, "batch_stats": state.batch_stats,
@@ -49,6 +60,9 @@ class CheckpointManager:
         self._best.save(path, {"params": state.params,
                                "batch_stats": state.batch_stats})
         self._best.wait_until_finished()
+        import json
+        with open(self._best_meta, "w") as f:
+            json.dump({"best_miou": miou}, f)
         logger.info(f"best model saved (mIoU {miou:.4f})")
         return True
 

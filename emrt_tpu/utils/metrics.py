@@ -19,8 +19,11 @@ def confusion_matrix(pred: jnp.ndarray, label: jnp.ndarray, num_classes: int,
     """Dense confusion matrix [C, C]: rows = label (truth), cols = pred."""
     pred = pred.reshape(-1).astype(jnp.int32)
     label = label.reshape(-1).astype(jnp.int32)
-    valid = label != ignore_index
-    # Funnel ignored pixels into an extra bin that we drop afterwards.
+    # Any out-of-range label or pred (negative, >= C, or ignore_index) is
+    # dropped rather than mis-binned via bincount's clip behavior.
+    valid = ((label >= 0) & (label < num_classes) & (label != ignore_index)
+             & (pred >= 0) & (pred < num_classes))
+    # Funnel invalid pixels into an extra bin that we drop afterwards.
     idx = jnp.where(valid, label * num_classes + pred, num_classes * num_classes)
     cm = jnp.bincount(idx, length=num_classes * num_classes + 1)[:-1]
     return cm.reshape(num_classes, num_classes)
@@ -84,11 +87,6 @@ def f1_scores(class_precision, class_recall):
     denom = p + r
     f1 = np.where(denom == 0, 0.0, 2 * p * r / np.maximum(denom, 1e-12))
     return f1, float(np.mean(f1))
-
-
-@jax.jit
-def _zeros3(c: jnp.ndarray):
-    return c
 
 
 class MetricAccumulator:

@@ -43,3 +43,19 @@ def test_load_pretrained_partial_and_interp(tmp_path):
     assert float(np.abs(new_params["encoder"]["pos_embed"]).sum()) > 0
     np.testing.assert_allclose(new_params["encoder"]["dense"]["kernel"], 1.0)
     np.testing.assert_allclose(new_params["head"]["kernel"], 0.0)  # skipped
+
+
+def test_best_miou_persisted_across_manager_restarts(tmp_path):
+    from emrt_tpu.utils.checkpoint import CheckpointManager
+
+    class S:
+        params = {"w": np.ones((2,), np.float32)}
+        batch_stats = {}
+
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=1)
+    assert mgr.save_best(S(), 0.7)
+    # a fresh manager (e.g. after --resume) must not let a worse mIoU win
+    mgr2 = CheckpointManager(str(tmp_path), max_to_keep=1)
+    assert mgr2.best_miou == 0.7
+    assert not mgr2.save_best(S(), 0.5)
+    assert mgr2.save_best(S(), 0.8)

@@ -92,3 +92,57 @@ def test_get_loss_function_dispatch():
     assert isinstance(get_loss_function(cfg), MixSoftmaxCrossEntropyLoss)
     cfg.TRAIN.LOSS = "OhemCrossEntropyLoss"
     assert isinstance(get_loss_function(cfg), OhemCrossEntropyLoss)
+
+
+def test_warmup_poly_matches_reference_formula():
+    # Exact reference WarmupPolyLR.get_lr() (lr_scheduler.py:172-184)
+    from emrt_tpu.solver.lr_scheduler import warmup_poly_lr
+    base, init, iters, warm, power, lr_min = 0.01, 1e-6, 200, 30, 0.9, 1e-5
+    sched = warmup_poly_lr(base, iters, power, warm, init, lr_min)
+    for step in [0, 1, 15, 29, 30, 31, 100, 199, 200]:
+        if step < warm:
+            ref = init + (base - init) * step / warm
+        else:
+            ref = init + (base - init) * (1 - (step - warm) / (iters - warm)) ** power
+        ref = max(ref, lr_min)
+        np.testing.assert_allclose(float(sched(jnp.asarray(step))), ref,
+                                   rtol=1e-4, atol=1e-9, err_msg=f"step {step}")
+
+
+def test_warmup_cosine_matches_reference_formula():
+    # Exact reference WarmupCosineLR.get_lr() at defaults (lr_scheduler.py:95-118):
+    # cosine frac = step / max_iters, NOT shifted by warmup (warmup_prefix=False)
+    from emrt_tpu.solver.lr_scheduler import warmup_cosine_lr
+    base, init, iters, warm, lr_min = 0.001, 1e-6, 400, 40, 1e-5
+    sched = warmup_cosine_lr(base, iters, warm, init, lr_min)
+    for step in [0, 10, 39, 40, 41, 200, 399, 400]:
+        if step < warm:
+            ref = init + (base - init) * step / warm
+        else:
+            ref = lr_min + 0.5 * (base - lr_min) * (1 + np.cos(np.pi * step / iters))
+        np.testing.assert_allclose(float(sched(jnp.asarray(step))), ref,
+                                   rtol=1e-5, err_msg=f"step {step}")
+
+
+def test_decoder_lr_coef_cli_wiring():
+    # get_optimizer called exactly the way train.py calls it: prefixes come
+    # from the model's decoder_lr_prefixes attribute (reference setr.py:121-151)
+    cfg = get_config()
+    cfg.TRAIN.OPTIMIZER.NAME = "SGD"
+    cfg.TRAIN.OPTIMIZER.MOMENTUM = 0.0
+    cfg.TRAIN.OPTIMIZER.WEIGHT_DECAY = 0.0
+    cfg.TRAIN.OPTIMIZER.GRAD_CLIP = 0.0
+
+    class FakeModel:
+        decoder_lr_prefixes = ("decoder",)
+
+    model = FakeModel()
+    params = {"decoder": {"kernel": jnp.ones((2,))},
+              "backbone": {"kernel": jnp.ones((2,))}}
+    sched = lambda step: 0.1
+    tx = get_optimizer(cfg, sched, params=params, decoder_lr_coef=10.0,
+                       decoder_prefixes=getattr(model, "decoder_lr_prefixes", ()))
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["backbone"]["kernel"]), -0.1)
+    np.testing.assert_allclose(np.asarray(updates["decoder"]["kernel"]), -1.0)

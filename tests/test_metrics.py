@@ -64,3 +64,24 @@ def test_accumulator_streaming():
     acc2.update(np.stack(all_pred), np.stack(all_label))
     np.testing.assert_array_equal(acc1.intersect, acc2.intersect)
     assert acc1.summarize()["miou"] == acc2.summarize()["miou"]
+
+
+def test_out_of_range_labels_dropped():
+    # negative or >= C labels must be excluded, not clipped into bin 0
+    # (guards against remap bugs like LoveDA raw-0 -> -1)
+    pred = np.array([0, 1, 0, 1, 0], np.int32)
+    label = np.array([0, 1, -1, 7, 255], np.int32)
+    i, p, l = calculate_area(pred, label, 2, 255)
+    np.testing.assert_array_equal(np.asarray(i), [1, 1])
+    np.testing.assert_array_equal(np.asarray(p), [1, 1])
+    np.testing.assert_array_equal(np.asarray(l), [1, 1])
+
+
+def test_loveda_val_remap_ignores_zero():
+    from emrt_tpu.data.datasets import LoveDA
+    ds = object.__new__(LoveDA)  # no disk access needed for the remap
+    raw = np.array([[0, 1, 2, 7]], np.int32)  # 0 = ignore, 1..7 = classes
+    out = ds._remap_val_label(raw.copy())
+    np.testing.assert_array_equal(out, [[255, 0, 1, 6]])
+    out_train = ds._remap_train_label(raw.copy())
+    np.testing.assert_array_equal(out_train, [[255, 0, 1, 6]])

@@ -71,7 +71,7 @@ def main():
     sharding = batch_sharding(mesh)
     loader = DataLoader(train_dataset, global_batch,
                         iterations=config.TRAIN.ITERS, seed=config.SEED,
-                        num_workers=max(2, config.DATA.NUM_WORKERS),
+                        num_workers=config.DATA.NUM_WORKERS,
                         sharding=sharding)
     logger.info(f"train samples: {len(train_dataset)} "
                 f"val samples: {len(val_dataset)} "
@@ -84,7 +84,8 @@ def main():
     from emrt_tpu.train.state import init_variables
     variables = init_variables(model, init_rng, sample["image"])
     tx = get_optimizer(config, schedule, params=variables["params"],
-                       decoder_lr_coef=config.TRAIN.DECODER_LR_COEF)
+                       decoder_lr_coef=config.TRAIN.DECODER_LR_COEF,
+                       decoder_prefixes=getattr(model, "decoder_lr_prefixes", ()))
     from emrt_tpu.train.state import TrainState
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
