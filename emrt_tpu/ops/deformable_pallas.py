@@ -11,9 +11,15 @@ VMEM:
               = M_q @ V
     M_q[k]    = sum_p sum_{4 corners} bilinear_wgt * attn * onehot_flat(k)
 
-Per (batch*head, query-tile) grid cell it builds the [Tq, H*W] sampling
-matrix M with VPU compares/multiplies directly in flat layout (no HBM
-round-trip, no unsupported reshapes) and computes out = M @ V on the MXU.
+Forward: ONE pallas_call per attention op (grid = batch x heads x query
+tiles). Each cell builds the [Tq, sum(H*W)] sampling matrix M across ALL
+levels in VMEM and does a single out = M @ V matmul on the MXU. The
+separable bilinear hat is exploited to keep VPU work low: only the x-side
+hat is evaluated at full [Tq, H*W] width; the y-side is computed small at
+[Tq, H] and expanded on the MXU via a constant one-hot matmul (bf16 path).
+Inputs are head-major views of the projection outputs ([bs, nh, Lq, ...],
+one cheap transpose each).
+
 The backward recomputes the corner masks (cheaper than storing M) and
 produces analytic grads:
 
@@ -36,50 +42,92 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _expansion_tables(h, w, tq):
-    """Constant flat-index coordinate tables: col(k) = k % w, row(k) = k // w."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, h * w), 1)
-    return (iota % w).astype(jnp.float32), (iota // w).astype(jnp.float32)
-
-
 def _hat(dist):
     """Bilinear (triangle) weight: relu(1 - |dist|)."""
     return jnp.maximum(0.0, 1.0 - jnp.abs(dist))
 
 
-def _accum_point_m(m_ref, lx, ly, attn_p, h, w, tables, first):
-    """Add one sampling point's bilinear footprint into the M scratch.
+def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
+                      *, shapes, tq, n_points):
+    """Build M across all levels, then one out = M @ V matmul.
 
-    The footprint is a separable 2-D hat (triangle) kernel — exactly the
-    4-corner bilinear weight, with out-of-range taps vanishing
-    automatically (zeros-padding grid_sample semantics). The
-    footprint is evaluated against constant flat row/col coordinate
-    tables with a handful of VPU passes per point. Accumulating through the
-    scratch ref (not SSA) keeps Mosaic register pressure flat — long
-    unrolled SSA chains at hw >= 1024 crash the compile helper."""
-    col_t, row_t = tables
-    x_pix = lx.astype(jnp.float32) * w - 0.5
-    y_pix = ly.astype(jnp.float32) * h - 0.5
-    a = attn_p.astype(jnp.float32)
+    loc_ref  [1, 1, tq, L*P*2]   (x, y) interleaved, head-major layout
+    attn_ref [1, 1, tq, L*P]
+    v_ref    [1, 1, sum_hw, c]   this head's value rows
+    out_ref  [1, 1, tq, c]
+    m_ref    [tq, sum_hw] f32 scratch
 
-    @pl.when(first)
-    def _():
-        m_ref[:] = jnp.zeros_like(m_ref[:])
+    Per point, only the x-side hat runs at full [tq, hw] width against a
+    constant col table (k % W). The y-side hat is computed small at
+    [tq, H] and expanded to full width:
+      * bf16 path: one-hot expansion matmul awy @ E on the MXU
+        (E[hh, k] = k//W == hh), overlapping with the VPU's x-side work
+        (~7 VPU passes/point instead of ~11; measured 8.8ms vs 16.7ms
+        for the bs=32 encoder call);
+      * f32 path: full-width VPU hat against the row table (k // W) —
+        exact, for strict golden parity.
+    Accumulating through the scratch ref (not SSA) keeps Mosaic register
+    pressure flat — long unrolled SSA chains at hw >= 1024 crash the
+    compile helper."""
+    bf16 = v_ref.dtype == jnp.bfloat16
+    off = 0
+    for l, (h, w) in enumerate(shapes):
+        hw = h * w
+        col_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) % w
+                 ).astype(jnp.float32)
+        if bf16:
+            rowh = jax.lax.broadcasted_iota(jnp.int32, (tq, h), 1
+                                            ).astype(jnp.float32)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 1)
+            hh = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 0)
+            expand = (kk // w == hh).astype(jnp.bfloat16)
+        else:
+            row_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) // w
+                     ).astype(jnp.float32)
+        for p in range(n_points):
+            j = l * n_points + p
+            x_pix = loc_ref[0, 0, :, 2 * j:2 * j + 1] * w - 0.5   # [tq, 1]
+            y_pix = loc_ref[0, 0, :, 2 * j + 1:2 * j + 2] * h - 0.5
+            a = attn_ref[0, 0, :, j:j + 1]
+            wx_exp = _hat(col_t - x_pix)                          # [tq, hw]
+            # a * hat(dy) == relu(a - a*|dy|) for a >= 0 (softmaxed)
+            if bf16:
+                awy_s = jnp.maximum(a - a * jnp.abs(rowh - y_pix), 0.0)
+                awy = jnp.dot(awy_s.astype(jnp.bfloat16), expand,
+                              preferred_element_type=jnp.float32)
+            else:
+                awy = jnp.maximum(a - a * jnp.abs(row_t - y_pix), 0.0)
+            plane = wx_exp * awy
+            if p == 0:
+                m_ref[:, off:off + hw] = plane
+            else:
+                m_ref[:, off:off + hw] += plane
+        off += hw
+    v = v_ref[0, 0]
+    if bf16:
+        out = jnp.dot(m_ref[:].astype(jnp.bfloat16), v,
+                      preferred_element_type=jnp.float32)
+    else:
+        out = jax.lax.dot_general(
+            m_ref[:], v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
 
-    wx = _hat(col_t - x_pix[:, None])
-    wy = _hat(row_t - y_pix[:, None])
-    m_ref[:] += (a[:, None] * wx) * wy
 
-
-def _fwd_kernel(v_ref, locx_ref, locy_ref, attn_ref, out_ref, m_scratch,
-                *, h, w, tq, n_points):
-    tables = _expansion_tables(h, w, tq)
-    for p in range(n_points):
-        _accum_point_m(m_scratch, locx_ref[0, p, :], locy_ref[0, p, :],
-                       attn_ref[0, p, :], h, w, tables, p == 0)
-    v = v_ref[0].astype(jnp.float32)                         # [h*w, c]
-    out_ref[0] = jnp.dot(m_scratch[:], v, preferred_element_type=jnp.float32
-                         ).astype(out_ref.dtype)
+def _pick_tq(lq, lv):
+    """Query tile: big tiles amortize per-cell overhead, but the kernel's
+    VMEM footprint (M scratch + hoisted row tables + per-point
+    intermediates) is ~7 f32 buffers of [tq, lv] — stay under the 16MB
+    scoped limit with headroom (empirically tq=448 @ lv=1344 ran 192KB
+    over)."""
+    budget = max(32, int(14.5e6 / (7 * 4 * lv)) // 8 * 8)
+    if lq <= budget:
+        return _round_up(lq, 8)
+    for tq in (512, 448, 384, 336, 256, 224, 192, 160, 128, 96, 64, 32):
+        if tq <= budget and lq % tq == 0:
+            return tq
+    return min(budget, 512)
 
 
 def _bwd_kernel(vt_ref, locx_ref, locy_ref, attn_ref, g_ref, gv_ref,
@@ -138,39 +186,13 @@ def _bwd_kernel(vt_ref, locx_ref, locy_ref, attn_ref, g_ref, gv_ref,
 
 def _level_specs(hw, c, tq, n_points):
     return dict(
-        v=pl.BlockSpec((1, hw, c), lambda i, j: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-
-
         g=pl.BlockSpec((1, tq, c), lambda i, j: (i, j, 0),
                        memory_space=pltpu.VMEM),
-        out=pl.BlockSpec((1, tq, c), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
         gv=pl.BlockSpec((1, hw, c), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM),
         plane=pl.BlockSpec((1, n_points, tq), lambda i, j: (i, 0, j),
                            memory_space=pltpu.VMEM),
     )
-
-
-def _level_fwd(v, loc, attn, h, w, tq, interpret=False):
-    bh, hw, c = v.shape
-    lq, n_points = loc.shape[1], loc.shape[2]
-    locx = jnp.swapaxes(loc[..., 0], 1, 2)   # [bh, P, lq]
-    locy = jnp.swapaxes(loc[..., 1], 1, 2)
-    attn = jnp.swapaxes(attn, 1, 2)
-    s = _level_specs(hw, c, tq, n_points)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, h=h, w=w, tq=tq, n_points=n_points),
-        grid=(bh, lq // tq),
-        in_specs=[s["v"], s["plane"], s["plane"], s["plane"]],
-        out_specs=s["out"],
-        out_shape=jax.ShapeDtypeStruct((bh, lq, c), v.dtype),
-        scratch_shapes=[pltpu.VMEM((tq, hw), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(v, locx, locy, attn)
 
 
 def _level_bwd(v, loc, attn, g, h, w, tq, interpret=False):
@@ -236,26 +258,51 @@ def _pad_queries(loc_all, attn_all, g=None):
 
 
 def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
+    """Fused forward: one pallas_call over (batch, heads, query tiles)."""
     bs, lv, nh, c = value.shape
-    n_points = loc_all.shape[4]
+    lq = loc_all.shape[1]
+    n_levels, n_points = loc_all.shape[3], loc_all.shape[4]
+    assert lv == sum(h * w for h, w in spatial_shapes)
     residuals = (value, loc_all, attn_all)
-    loc_p, attn_p, _, tq, lq_pad, lq = _pad_queries(loc_all, attn_all)
 
-    out = jnp.zeros((bs, lq_pad, nh, c), jnp.float32)
-    offset = 0
-    for l, (h, w) in enumerate(spatial_shapes):
-        hw = h * w
-        v_l = jnp.swapaxes(value[:, offset:offset + hw], 1, 2).reshape(
-            bs * nh, hw, c)
-        loc_l = jnp.swapaxes(loc_p[:, :, :, l], 1, 2).reshape(
-            bs * nh, lq_pad, n_points, 2).astype(jnp.float32)
-        attn_l = jnp.swapaxes(attn_p[:, :, :, l], 1, 2).reshape(
-            bs * nh, lq_pad, n_points).astype(jnp.float32)
-        o = _level_fwd(v_l, loc_l, attn_l, h, w, tq, interpret)
-        out = out + jnp.swapaxes(o.reshape(bs, nh, lq_pad, c), 1, 2
-                                 ).astype(jnp.float32)
-        offset += hw
-    out = out[:, :lq].reshape(bs, lq, nh * c).astype(value.dtype)
+    tq = _pick_tq(lq, lv)
+    lq_pad = _round_up(lq, tq)
+    pad = lq_pad - lq
+    # head-major layouts (Pallas blocks tile the LAST TWO dims):
+    # [bs, Lq, nh, L, P, 2] -> [bs, nh, Lq, L*P*2], value -> [bs, nh, Lv, c]
+    loc2 = jnp.swapaxes(
+        loc_all.reshape(bs, lq, nh, n_levels * n_points * 2), 1, 2
+    ).astype(jnp.float32)
+    attn2 = jnp.swapaxes(
+        attn_all.reshape(bs, lq, nh, n_levels * n_points), 1, 2
+    ).astype(jnp.float32)
+    v2 = jnp.swapaxes(value, 1, 2)
+    if pad:
+        loc2 = jnp.pad(loc2, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        attn2 = jnp.pad(attn2, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    lp2, lp = loc2.shape[-1], attn2.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, shapes=tuple(spatial_shapes),
+                          tq=tq, n_points=n_points),
+        grid=(bs, nh, lq_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, lp2), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, lp), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lv, c), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, c), lambda i, h, j: (i, h, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, nh, lq_pad, c), value.dtype),
+        scratch_shapes=[pltpu.VMEM((tq, lv), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(loc2, attn2, v2)
+    out = jnp.swapaxes(out[:, :, :lq], 1, 2).reshape(bs, lq, nh * c)
     return out, residuals
 
 

@@ -49,6 +49,18 @@ def test_pallas_grads_match_reference(problem):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_bf16_path_matches_reference(problem):
+    """bf16 values select the MXU one-hot y-expansion + bf16 M dot path;
+    tolerance reflects bf16 weight/value rounding (~0.4% rel)."""
+    shapes, value, loc, attn = problem
+    ref = deformable_attention_core(value, shapes, loc, attn)
+    out = deformable_attention_pallas(value.astype(jnp.bfloat16), shapes,
+                                      loc, attn, True)
+    scale = float(jnp.abs(ref).max()) + 1e-8
+    np.testing.assert_allclose(np.asarray(out, np.float32) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
+
+
 def test_pallas_oob_zeros(problem):
     shapes, value, loc, attn = problem
     loc_oob = jnp.full_like(loc, 7.0)
