@@ -17,7 +17,7 @@ import numpy as np
 from ..data.loader import val_batches
 from ..utils.logger import logger
 from ..utils.metrics import MetricAccumulator, confusion_matrix
-from .slide import ms_inference, ss_inference
+from .slide import ms_inference, slide_inference, ss_inference
 
 
 def build_val_transforms(config):
@@ -33,9 +33,74 @@ def build_val_transforms(config):
     return tfms
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _variable_shape_predict(forward, imgs, labels, config, multi_scales,
+                            crop_size, stride_size, num_classes,
+                            ignore_index, window_batch):
+    """Shape-diverse batches (ADE20K / PascalContext / Cityscapes val):
+    pad images into a 128-aligned bucket canvas (top-left), slide over the
+    canvas, then resize each image's logits region back to ITS OWN label
+    size with per-image interpolation matrices at a fixed padded output
+    shape (ops.resize.batched_resize_bilinear_padded) — bounded compiles
+    instead of one per unique image shape. Labels pad with ignore_index,
+    so canvas regions outside each image contribute nothing.
+
+    Reference equivalent: variable-shape list collation + per-image
+    resize (src/utils/multi_batch_collate.py:17-29, src/api/infer.py:82-157).
+    """
+    from ..ops.resize import batched_resize_bilinear_padded, resize_bilinear
+
+    hb = max(crop_size[1], _round_up(max(im.shape[0] for im in imgs), 128))
+    wb = max(crop_size[0], _round_up(max(im.shape[1] for im in imgs), 128))
+    lab2 = [np.asarray(lb).reshape(lb.shape[-2:]) for lb in labels]
+    hlb = _round_up(max(lb.shape[0] for lb in lab2), 128)
+    wlb = _round_up(max(lb.shape[1] for lb in lab2), 128)
+
+    img_canvas = np.zeros((len(imgs), hb, wb, imgs[0].shape[-1]), np.float32)
+    lab_canvas = np.full((len(imgs), hlb, wlb), ignore_index, np.int32)
+    for i, (im, lb) in enumerate(zip(imgs, lab2)):
+        img_canvas[i, :im.shape[0], :im.shape[1]] = im
+        lab_canvas[i, :lb.shape[0], :lb.shape[1]] = lb
+    img_batch = jnp.asarray(img_canvas)
+    src_hw = jnp.asarray([im.shape[:2] for im in imgs], jnp.int32)
+    dst_hw = jnp.asarray([lb.shape for lb in lab2], jnp.int32)
+
+    scales = tuple(config.VAL.SCALE_RATIOS) if multi_scales else (1.0,)
+    flips = ([False, True] if multi_scales else [False])
+    final = jnp.zeros((len(imgs), hlb, wlb, num_classes), jnp.float32)
+    for scale in scales:
+        if scale != 1.0:
+            sh, sw = int(hb * scale + 0.5), int(wb * scale + 0.5)
+            scaled = resize_bilinear(img_batch, (sh, sw))
+            s_src = jnp.round(src_hw.astype(jnp.float32) * scale
+                              ).astype(jnp.int32)
+        else:
+            scaled, s_src = img_batch, src_hw
+        for flip in flips:
+            x = scaled[:, :, ::-1] if flip else scaled
+            logits = slide_inference(forward, x, crop_size, stride_size,
+                                     num_classes, window_batch)
+            if flip:
+                logits = logits[:, :, ::-1]
+            resized = batched_resize_bilinear_padded(logits, s_src, dst_hw,
+                                                     (hlb, wlb))
+            final = final + (jax.nn.softmax(resized, axis=-1)
+                             if multi_scales else resized)
+    pred = jnp.argmax(final, axis=-1).astype(jnp.int32)
+    return pred, jnp.asarray(lab_canvas)
+
+
 def evaluate(forward, dataset, config, multi_scales: bool = False,
-             window_batch: int | None = None):
-    """forward: images [n,h,w,3] -> main logits [n,h,w,C] (jitted)."""
+             window_batch: int | None = None, mesh=None):
+    """forward: images [n,h,w,3] -> main logits [n,h,w,C] (jitted).
+
+    With a mesh (build forward via make_forward(model, mesh)), the
+    confusion-area reduction also runs sharded over the 'data' axis: the
+    per-shard bincounts psum in-graph and only the [C, C] matrix leaves
+    the mesh (reference: rank-sharded val + all_gather, val.py:164-180)."""
     num_classes = config.DATA.NUM_CLASSES
     ignore_index = config.TRAIN.IGNORE_INDEX
     batch_size = config.DATA.BATCH_SIZE_VAL
@@ -43,7 +108,26 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
     stride_size = tuple(config.VAL.STRIDE_SIZE)
     acc = MetricAccumulator(num_classes, ignore_index)
 
-    cm_fn = jax.jit(lambda p, l: confusion_matrix(p, l, num_classes, ignore_index))
+    if mesh is None:
+        cm_fn = jax.jit(lambda p, l: confusion_matrix(p, l, num_classes,
+                                                      ignore_index))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_s = NamedSharding(mesh, P("data"))
+        n_data = mesh.shape["data"]
+
+        @jax.jit
+        def cm_fn(p, l):
+            pad = (-p.shape[0]) % n_data
+            if pad:
+                # padded rows predict 0 against all-ignore labels: no-ops
+                p = jnp.concatenate(
+                    [p, jnp.zeros((pad,) + p.shape[1:], p.dtype)])
+                l = jnp.concatenate(
+                    [l, jnp.full((pad,) + l.shape[1:], ignore_index, l.dtype)])
+            p = jax.lax.with_sharding_constraint(p, data_s)
+            l = jax.lax.with_sharding_constraint(l, data_s)
+            return confusion_matrix(p, l, num_classes, ignore_index)
 
     start = time.time()
     n_img = 0
@@ -55,22 +139,31 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
         while len(imgs) < batch_size:
             imgs.append(imgs[-1])
             labels.append(np.full_like(labels[-1], ignore_index))
-        img_batch = jnp.asarray(np.stack(imgs))
-        ori_shape = labels[0].shape[-2:]
-        if multi_scales:
-            pred = ms_inference(forward, img_batch, ori_shape, True,
-                                config.VAL.IMAGE_BASE_SIZE, stride_size,
-                                crop_size, num_classes,
-                                scales=config.VAL.SCALE_RATIOS,
-                                flip_horizontal=True,
-                                window_batch=window_batch)
+        img_shapes = [im.shape[:2] for im in imgs]
+        lab_shapes = [np.asarray(lb).reshape(lb.shape[-2:]).shape
+                      for lb in labels]
+        uniform = len(set(img_shapes)) == 1 and len(set(lab_shapes)) == 1
+        if uniform:
+            img_batch = jnp.asarray(np.stack(imgs))
+            ori_shape = labels[0].shape[-2:]
+            if multi_scales:
+                pred = ms_inference(forward, img_batch, ori_shape, True,
+                                    config.VAL.IMAGE_BASE_SIZE, stride_size,
+                                    crop_size, num_classes,
+                                    scales=config.VAL.SCALE_RATIOS,
+                                    flip_horizontal=True,
+                                    window_batch=window_batch)
+            else:
+                pred = ss_inference(forward, img_batch, ori_shape, True,
+                                    config.VAL.IMAGE_BASE_SIZE, stride_size,
+                                    crop_size, num_classes,
+                                    rescale_from_ori=config.VAL.RESCALE_FROM_ORI,
+                                    window_batch=window_batch)
+            label_batch = jnp.asarray(np.stack(labels).reshape(pred.shape))
         else:
-            pred = ss_inference(forward, img_batch, ori_shape, True,
-                                config.VAL.IMAGE_BASE_SIZE, stride_size,
-                                crop_size, num_classes,
-                                rescale_from_ori=config.VAL.RESCALE_FROM_ORI,
-                                window_batch=window_batch)
-        label_batch = jnp.asarray(np.stack(labels).reshape(pred.shape))
+            pred, label_batch = _variable_shape_predict(
+                forward, imgs, labels, config, multi_scales, crop_size,
+                stride_size, num_classes, ignore_index, window_batch)
         cm = cm_fn(pred, label_batch)
         acc.update_areas(jnp.diagonal(cm), cm.sum(axis=0), cm.sum(axis=1))
         n_img += n_real

@@ -24,7 +24,9 @@ import numpy as np
 
 from ..ops.deformable import deformable_attention_core
 from .layers import MultiHeadAttention, xavier_uniform
-from .position_encoding import encoder_reference_points, sine_position_embedding
+from .position_encoding import (LearnedPositionEmbedding,
+                                encoder_reference_points,
+                                sine_position_embedding)
 
 
 def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
@@ -242,6 +244,7 @@ class EncoderDecoder(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    position_embed_type: str = "sine"   # 'sine' | 'learned' (reference :340-348)
 
     @nn.compact
     def __call__(self, src_feats: Sequence[jnp.ndarray], src_psp,
@@ -262,10 +265,17 @@ class EncoderDecoder(nn.Module):
             "level_embed", nn.initializers.normal(1.0),
             (self.num_feature_levels, self.hidden_dim))
 
+        if self.position_embed_type == "learned":
+            learned = LearnedPositionEmbedding(self.hidden_dim // 2,
+                                               dtype=self.dtype,
+                                               name="position_embedding")
         pos_chunks = []
         for lvl, (h, w) in enumerate(spatial_shapes):
-            pos = sine_position_embedding(h, w, self.hidden_dim // 2,
-                                          dtype=self.dtype)
+            if self.position_embed_type == "learned":
+                pos = learned(h, w)
+            else:
+                pos = sine_position_embedding(h, w, self.hidden_dim // 2,
+                                              dtype=self.dtype)
             pos_chunks.append(pos + level_embed[lvl].astype(self.dtype))
         pos_embed = jnp.concatenate(pos_chunks, axis=0)[None]  # [1, sum, C]
 

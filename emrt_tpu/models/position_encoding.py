@@ -11,6 +11,7 @@ from __future__ import annotations
 import functools
 import math
 
+import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,29 @@ def sine_position_embedding(h: int, w: int, num_pos_feats: int = 128,
     table = _sine_table(h, w, num_pos_feats, temperature, normalize, offset,
                         2 * math.pi)
     return jnp.asarray(table.reshape(h * w, -1), dtype=dtype)
+
+
+class LearnedPositionEmbedding(nn.Module):
+    """Learned row/col embedding tables (reference
+    position_encoding.py:45-48, 78-92): pos(y, x) = concat(col[x], row[y])
+    — x-first, unlike the sine variant's y-first layout. Tables hold
+    ``num_embeddings`` positions per axis; indices are the static grid
+    coordinates, so the lookup is a constant-index gather XLA folds."""
+    num_pos_feats: int = 128
+    num_embeddings: int = 50
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: int, w: int) -> jnp.ndarray:
+        row = nn.Embed(self.num_embeddings, self.num_pos_feats,
+                       name="row_embed")(jnp.arange(h))
+        col = nn.Embed(self.num_embeddings, self.num_pos_feats,
+                       name="col_embed")(jnp.arange(w))
+        pos = jnp.concatenate([
+            jnp.broadcast_to(col[None, :, :], (h, w, self.num_pos_feats)),
+            jnp.broadcast_to(row[:, None, :], (h, w, self.num_pos_feats)),
+        ], axis=-1)
+        return pos.reshape(h * w, 2 * self.num_pos_feats).astype(self.dtype)
 
 
 @functools.lru_cache(maxsize=None)

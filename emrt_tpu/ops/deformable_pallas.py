@@ -130,103 +130,108 @@ def _pick_tq(lq, lv):
     return min(budget, 512)
 
 
-def _bwd_kernel(vt_ref, locx_ref, locy_ref, attn_ref, g_ref, gv_ref,
-                gattn_ref, glocx_ref, glocy_ref, m_scratch, gm_scratch,
-                *, h, w, tq, n_points):
-    """Fused backward: gV, g_attn, g_loc in one kernel.
+def _fused_bwd_kernel(loc_ref, attn_ref, vt_ref, g_ref, gv_ref, gloc_ref,
+                      gattn_ref, gm_scr, m_scr, *, shapes, tq, n_points):
+    """Fused backward: gV, g_attn, g_loc across ALL levels in one call.
 
-    Per point, the separable hat weights are built ONCE and reused for the
-    sampling-matrix accumulation (-> gV = M^T @ g on the MXU) and for the
-    three analytic reductions against gM = g @ V^T:
+    Per point, the separable hat weights are reused for the sampling-matrix
+    accumulation (-> gV = M^T @ g on the MXU) and for the three analytic
+    reductions against gM = g @ V^T:
         g_attn = sum_k (wx*wy) * gM
         g_locx = attn * W * sum_k (dwx*wy) * gM      (dwx = sign on support)
         g_locy = attn * H * sum_k (wx*dwy) * gM
-    vt_ref holds V transposed ([c, hw]) so gM is a plain matmul; gV
-    accumulates across query-tile grid steps (zeroed at j == 0)."""
-    j = pl.program_id(1)
+    bf16 path: the y-side hats live at [tq, H]; expansions (awy @ E) and
+    row-reductions (u @ E^T, K = hw, full MXU utilization) ride the MXU,
+    leaving only x-side hats and two gM products at full width on the VPU.
+    f32 path: exact full-width VPU math for strict golden parity.
+
+    loc_ref [1, 1, tq, L*P*2]; attn_ref [1, 1, tq, L*P];
+    vt_ref [1, 1, c, lv]; g_ref [1, 1, tq, c];
+    gv_ref [1, 1, lv, c] (accumulated over the query-tile grid dim);
+    gloc_ref [1, 1, tq, L*P*2]; gattn_ref [1, 1, tq, L*P];
+    gm_scr / m_scr [tq, lv] f32 scratch."""
+    bf16 = vt_ref.dtype == jnp.bfloat16
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
-        gv_ref[0] = jnp.zeros_like(gv_ref[0])
+        gv_ref[0, 0] = jnp.zeros_like(gv_ref[0, 0])
 
-    g = g_ref[0].astype(jnp.float32)                          # [tq, c]
-    gm_scratch[:] = jnp.dot(g, vt_ref[0].astype(jnp.float32),
-                            preferred_element_type=jnp.float32)
-    gm = gm_scratch[:]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, h * w), 1)
-    col_t = (iota % w).astype(jnp.float32)
-    row_t = (iota // w).astype(jnp.float32)
-    m_scratch[:] = jnp.zeros_like(m_scratch[:])
-    for p in range(n_points):
-        lx = locx_ref[0, p, :].astype(jnp.float32)            # [tq]
-        ly = locy_ref[0, p, :].astype(jnp.float32)
-        attn_p = attn_ref[0, p, :].astype(jnp.float32)
-        x_pix = lx * w - 0.5
-        y_pix = ly * h - 0.5
-        dxs = col_t - x_pix[:, None]
-        dys = row_t - y_pix[:, None]
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dys))
-        # d(wx)/dx_pix = sign(dxs) on the open support, 0 outside
-        dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
-        dwy = jnp.where(wy > 0.0, jnp.sign(dys), 0.0)
-        gmwy = gm * wy
-        wxwy = wx * wy
-        m_scratch[:] += attn_p[:, None] * wxwy
-        ga = jnp.sum(gm * wxwy, axis=1)
-        gx = jnp.sum(gmwy * dwx, axis=1)
-        gy = jnp.sum((gm * wx) * dwy, axis=1)
-        gattn_ref[0, p, :] = ga.astype(gattn_ref.dtype)
-        glocx_ref[0, p, :] = (attn_p * (w * gx)).astype(glocx_ref.dtype)
-        glocy_ref[0, p, :] = (attn_p * (h * gy)).astype(glocy_ref.dtype)
-    gv_ref[0] += jax.lax.dot_general(
-        m_scratch[:], g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(gv_ref.dtype)
-
-
-def _level_specs(hw, c, tq, n_points):
-    return dict(
-        g=pl.BlockSpec((1, tq, c), lambda i, j: (i, j, 0),
-                       memory_space=pltpu.VMEM),
-        gv=pl.BlockSpec((1, hw, c), lambda i, j: (i, 0, 0),
-                        memory_space=pltpu.VMEM),
-        plane=pl.BlockSpec((1, n_points, tq), lambda i, j: (i, 0, j),
-                           memory_space=pltpu.VMEM),
-    )
-
-
-def _level_bwd(v, loc, attn, g, h, w, tq, interpret=False):
-    bh, hw, c = v.shape
-    lq, n_points = loc.shape[1], loc.shape[2]
-    locx = jnp.swapaxes(loc[..., 0], 1, 2)   # [bh, P, lq]
-    locy = jnp.swapaxes(loc[..., 1], 1, 2)
-    attn = jnp.swapaxes(attn, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)  # [bh, c, hw] so gM = g @ V^T is plain matmul
-    s = _level_specs(hw, c, tq, n_points)
-    vt_spec = pl.BlockSpec((1, c, hw), lambda i, j: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    gv, gattn, glocx, glocy = pl.pallas_call(
-        functools.partial(_bwd_kernel, h=h, w=w, tq=tq, n_points=n_points),
-        grid=(bh, lq // tq),
-        in_specs=[vt_spec, s["plane"], s["plane"], s["plane"], s["g"]],
-        out_specs=[s["gv"], s["plane"], s["plane"], s["plane"]],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, hw, c), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_points, lq), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_points, lq), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_points, lq), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((tq, hw), jnp.float32),
-                        pltpu.VMEM((tq, hw), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(vt, locx, locy, attn, g)
-    # back to [bh, lq, P]
-    gattn = jnp.swapaxes(gattn, 1, 2)
-    gloc = jnp.stack([jnp.swapaxes(glocx, 1, 2),
-                      jnp.swapaxes(glocy, 1, 2)], axis=-1)
-    return gv, gloc, gattn
+    g = g_ref[0, 0]
+    gm_scr[:] = jnp.dot(g, vt_ref[0, 0],
+                        preferred_element_type=jnp.float32)
+    off = 0
+    for l, (h, w) in enumerate(shapes):
+        hw = h * w
+        col_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) % w
+                 ).astype(jnp.float32)
+        gm = gm_scr[:, off:off + hw]
+        if bf16:
+            rowh = jax.lax.broadcasted_iota(jnp.int32, (tq, h), 1
+                                            ).astype(jnp.float32)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 1)
+            hh = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 0)
+            expand = (kk // w == hh).astype(jnp.bfloat16)
+            kk_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 0)
+            hh_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 1)
+            reduce_t = (kk_t // w == hh_t).astype(jnp.bfloat16)
+        else:
+            row_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) // w
+                     ).astype(jnp.float32)
+        for p in range(n_points):
+            jj = l * n_points + p
+            x_pix = loc_ref[0, 0, :, 2 * jj:2 * jj + 1] * w - 0.5   # [tq, 1]
+            y_pix = loc_ref[0, 0, :, 2 * jj + 1:2 * jj + 2] * h - 0.5
+            a = attn_ref[0, 0, :, jj:jj + 1]
+            dxs = col_t - x_pix
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
+            dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
+            if bf16:
+                dys_s = rowh - y_pix                                 # [tq, h]
+                wy_s = jnp.maximum(0.0, 1.0 - jnp.abs(dys_s))
+                dwy_s = jnp.where(wy_s > 0.0, jnp.sign(dys_s), 0.0)
+                u = (gm * wx).astype(jnp.bfloat16)
+                t = (gm * dwx).astype(jnp.bfloat16)
+                u_r = jnp.dot(u, reduce_t,
+                              preferred_element_type=jnp.float32)   # [tq, h]
+                t_r = jnp.dot(t, reduce_t,
+                              preferred_element_type=jnp.float32)
+                ga = jnp.sum(u_r * wy_s, axis=1)
+                gx = jnp.sum(t_r * wy_s, axis=1)
+                gy = jnp.sum(u_r * dwy_s, axis=1)
+                awy = jnp.dot((a * wy_s).astype(jnp.bfloat16), expand,
+                              preferred_element_type=jnp.float32)
+                plane = wx * awy
+            else:
+                dys = row_t - y_pix
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dys))
+                dwy = jnp.where(wy > 0.0, jnp.sign(dys), 0.0)
+                gmwy = gm * wy
+                wxwy = wx * wy
+                ga = jnp.sum(gm * wxwy, axis=1)
+                gx = jnp.sum(gmwy * dwx, axis=1)
+                gy = jnp.sum((gm * wx) * dwy, axis=1)
+                plane = a * wxwy
+            if p == 0:
+                m_scr[:, off:off + hw] = plane
+            else:
+                m_scr[:, off:off + hw] += plane
+            gattn_ref[0, 0, :, jj:jj + 1] = ga[:, None].astype(
+                gattn_ref.dtype)
+            gloc_ref[0, 0, :, 2 * jj:2 * jj + 1] = (
+                a * (w * gx[:, None])).astype(gloc_ref.dtype)
+            gloc_ref[0, 0, :, 2 * jj + 1:2 * jj + 2] = (
+                a * (h * gy[:, None])).astype(gloc_ref.dtype)
+        off += hw
+    if bf16:
+        gv_ref[0, 0] += jax.lax.dot_general(
+            m_scr[:].astype(jnp.bfloat16), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(gv_ref.dtype)
+    else:
+        gv_ref[0, 0] += jax.lax.dot_general(
+            m_scr[:], g.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(gv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
@@ -239,22 +244,6 @@ def deformable_attention_pallas(value, spatial_shapes, sampling_locations,
     out, _ = _fwd(value, spatial_shapes, sampling_locations,
                   attention_weights, interpret)
     return out
-
-
-def _pad_queries(loc_all, attn_all, g=None):
-    lq = loc_all.shape[1]
-    tq = 128 if lq >= 128 else _round_up(lq, 128)
-    lq_pad = _round_up(lq, tq)
-    pad = lq_pad - lq
-    if pad:
-        loc_all = jnp.pad(loc_all,
-                          ((0, 0), (0, pad)) + ((0, 0),) * (loc_all.ndim - 2),
-                          constant_values=-10.0)
-        attn_all = jnp.pad(attn_all,
-                           ((0, 0), (0, pad)) + ((0, 0),) * (attn_all.ndim - 2))
-        if g is not None:
-            g = jnp.pad(g, ((0, 0), (0, pad)) + ((0, 0),) * (g.ndim - 2))
-    return loc_all, attn_all, g, tq, lq_pad, lq
 
 
 def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
@@ -307,34 +296,71 @@ def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
 
 
 def _bwd(spatial_shapes, interpret, residuals, g):
+    """Fused backward host wrapper: same head-major single-call layout as
+    the forward; gV accumulates across the (innermost) query-tile grid
+    dim."""
     value, loc_all, attn_all = residuals
     bs, lv, nh, c = value.shape
-    n_points = loc_all.shape[4]
-    g4 = g.reshape(bs, g.shape[1], nh, c)
-    loc_p, attn_p, g_p, tq, lq_pad, lq = _pad_queries(loc_all, attn_all, g4)
-    g_bh = jnp.swapaxes(g_p, 1, 2).reshape(bs * nh, lq_pad, c
-                                           ).astype(jnp.float32)
-    gv_parts, gloc_parts, gattn_parts = [], [], []
-    offset = 0
-    for l, (h, w) in enumerate(spatial_shapes):
-        hw = h * w
-        v_l = jnp.swapaxes(value[:, offset:offset + hw], 1, 2).reshape(
-            bs * nh, hw, c)
-        loc_l = jnp.swapaxes(loc_p[:, :, :, l], 1, 2).reshape(
-            bs * nh, lq_pad, n_points, 2).astype(jnp.float32)
-        attn_l = jnp.swapaxes(attn_p[:, :, :, l], 1, 2).reshape(
-            bs * nh, lq_pad, n_points).astype(jnp.float32)
-        gv, gloc, gattn = _level_bwd(v_l, loc_l, attn_l, g_bh, h, w, tq,
-                                     interpret)
-        gv_parts.append(jnp.swapaxes(gv.reshape(bs, nh, hw, c), 1, 2))
-        gloc_parts.append(jnp.swapaxes(
-            gloc.reshape(bs, nh, lq_pad, n_points, 2), 1, 2)[:, :lq])
-        gattn_parts.append(jnp.swapaxes(
-            gattn.reshape(bs, nh, lq_pad, n_points), 1, 2)[:, :lq])
-        offset += hw
-    gvalue = jnp.concatenate(gv_parts, axis=1).astype(value.dtype)
-    gloc = jnp.stack(gloc_parts, axis=3).astype(loc_all.dtype)
-    gattn = jnp.stack(gattn_parts, axis=3).astype(attn_all.dtype)
+    lq = loc_all.shape[1]
+    n_levels, n_points = loc_all.shape[3], loc_all.shape[4]
+
+    # the backward holds ~1.5x the forward's f32 [tq, lv] buffers
+    tq = _pick_tq(lq, int(1.5 * lv))
+    lq_pad = _round_up(lq, tq)
+    pad = lq_pad - lq
+    loc2 = jnp.swapaxes(
+        loc_all.reshape(bs, lq, nh, n_levels * n_points * 2), 1, 2
+    ).astype(jnp.float32)
+    attn2 = jnp.swapaxes(
+        attn_all.reshape(bs, lq, nh, n_levels * n_points), 1, 2
+    ).astype(jnp.float32)
+    g2 = jnp.swapaxes(g.reshape(bs, lq, nh, c), 1, 2)
+    if pad:
+        loc2 = jnp.pad(loc2, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        attn2 = jnp.pad(attn2, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        g2 = jnp.pad(g2, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vt2 = jnp.swapaxes(jnp.swapaxes(value, 1, 2), 2, 3)  # [bs, nh, c, lv]
+
+    lp2, lp = loc2.shape[-1], attn2.shape[-1]
+    gv, gloc2, gattn2 = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, shapes=tuple(spatial_shapes),
+                          tq=tq, n_points=n_points),
+        grid=(bs, nh, lq_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, lp2), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, lp), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, lv), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, c), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, lv, c), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, lp2), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, lp), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, nh, lv, c), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh, lq_pad, lp2), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nh, lq_pad, lp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tq, lv), jnp.float32),
+                        pltpu.VMEM((tq, lv), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(loc2, attn2, vt2, g2)
+
+    gvalue = jnp.swapaxes(gv, 1, 2).astype(value.dtype)
+    gloc = jnp.swapaxes(gloc2[:, :, :lq], 1, 2).reshape(
+        bs, lq, nh, n_levels, n_points, 2).astype(loc_all.dtype)
+    gattn = jnp.swapaxes(gattn2[:, :, :lq], 1, 2).reshape(
+        bs, lq, nh, n_levels, n_points).astype(attn_all.dtype)
     return gvalue, gloc, gattn
 
 

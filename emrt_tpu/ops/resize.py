@@ -73,6 +73,44 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.nd
     return y[0] if squeeze else y
 
 
+def _batched_interp_matrix(out_pad: int, in_pad: int, src_n, dst_n):
+    """[bs, out_pad, in_pad] per-image bilinear matrices from RUNTIME sizes.
+
+    src_n / dst_n are int32 [bs] arrays (valid extents inside the padded
+    canvases). Rows i >= dst_n are zeroed. align_corners=False with edge
+    clamp — matches _interp_matrix. Shapes stay static, so one compile
+    covers every per-image size combination inside a padding bucket."""
+    o = jnp.arange(out_pad, dtype=jnp.float32)[None, :, None]       # [1,O,1]
+    k = jnp.arange(in_pad, dtype=jnp.float32)[None, None, :]        # [1,1,I]
+    src_f = src_n.astype(jnp.float32)[:, None, None]
+    dst_f = dst_n.astype(jnp.float32)[:, None, None]
+    src = (o + 0.5) * src_f / dst_f - 0.5
+    src = jnp.clip(src, 0.0, src_f - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src - k))                    # [bs,O,I]
+    return jnp.where(o < dst_f, w, 0.0)
+
+
+def batched_resize_bilinear_padded(x: jnp.ndarray, src_hw: jnp.ndarray,
+                                   dst_hw: jnp.ndarray, out_shape) -> jnp.ndarray:
+    """Per-image bilinear resize at a FIXED padded shape (TPU-native
+    variable-shape eval): x [bs, Hp, Wp, C] holds each image's valid
+    content in its top-left src_hw[b] region; the result [bs, out_shape..]
+    holds each image resized to dst_hw[b] (top-left), zeros elsewhere.
+    Sizes are runtime data, so shape-diverse datasets (ADE20K, Pascal
+    Context, Cityscapes) evaluate with a bounded number of compiles —
+    the reference instead list-collates ragged batches
+    (src/utils/multi_batch_collate.py:17-29, src/api/infer.py:82-157).
+    Two batched MXU matmuls; no gathers."""
+    bs, hp, wp, _ = x.shape
+    oh, ow = int(out_shape[0]), int(out_shape[1])
+    ry = _batched_interp_matrix(oh, hp, src_hw[:, 0], dst_hw[:, 0])
+    rx = _batched_interp_matrix(ow, wp, src_hw[:, 1], dst_hw[:, 1])
+    y = jnp.einsum("boh,bhwc->bowc", ry, x.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("bow,bhwc->bhoc", rx, y,
+                      preferred_element_type=jnp.float32)
+
+
 def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
     squeeze = x.ndim == 3
     if squeeze:

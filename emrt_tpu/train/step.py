@@ -55,14 +55,40 @@ def make_eval_step(model, num_classes: int, ignore_index: int = 255):
     return jax.jit(eval_step)
 
 
-def make_forward(model):
-    """Plain jitted inference forward: images -> main logits (NHWC)."""
+def make_forward(model, mesh=None):
+    """Jitted inference forward: images -> main logits (NHWC).
+
+    With a mesh, the image batch is sharded over the 'data' axis so eval
+    (sliding-window batches included) runs on every chip — the TPU-native
+    counterpart of the reference's rank-sharded val loop + all_gather
+    (val.py:164-180). Batches are padded to a multiple of the data-axis
+    size inside the jit (static shapes) and sliced back."""
+    if mesh is None:
+        @jax.jit
+        def forward(params, batch_stats, images):
+            outputs = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, train=False)
+            return outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+
+        return forward
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    data_s = NamedSharding(mesh, P("data"))
+    n_data = mesh.shape["data"]
 
     @jax.jit
     def forward(params, batch_stats, images):
+        n = images.shape[0]
+        pad = (-n) % n_data
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)])
+        images = jax.lax.with_sharding_constraint(images, data_s)
         outputs = model.apply({"params": params, "batch_stats": batch_stats},
                               images, train=False)
-        return outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        return logits[:n]
 
     return forward
 

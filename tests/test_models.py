@@ -91,3 +91,24 @@ def test_emrt_forward_shapes():
     main, aux = model.apply(vars_, x, train=False)
     assert main.shape == (1, 64, 64, 6)
     assert aux.shape == (1, 64, 64, 6)
+
+
+def test_learned_position_embedding_encdec():
+    """'learned' position_embed_type builds row/col tables and runs
+    (reference transformer_encoder_decoder.py:340-348,
+    position_encoding.py:45-48)."""
+    import jax
+    import jax.numpy as jnp
+    from emrt_tpu.models.deformable_transformer import EncoderDecoder
+
+    encdec = EncoderDecoder(num_encoder_layers=1, num_decoder_layers=1,
+                            position_embed_type="learned")
+    feats = [jnp.zeros((1, 8, 8, 256)), jnp.zeros((1, 4, 4, 256)),
+             jnp.zeros((1, 2, 2, 256))]
+    psp = jnp.zeros((1, 110, 256))
+    variables = encdec.init(jax.random.key(0), feats, psp)
+    emb = variables["params"]["position_embedding"]
+    assert emb["row_embed"]["embedding"].shape == (50, 128)
+    assert emb["col_embed"]["embedding"].shape == (50, 128)
+    hs, mem = encdec.apply(variables, feats, psp)
+    assert hs.shape == (1, 110, 256) and mem.shape == (1, 84, 256)

@@ -61,6 +61,26 @@ def test_pallas_bf16_path_matches_reference(problem):
                                np.asarray(ref) / scale, atol=2e-2)
 
 
+def test_pallas_bf16_grads_close(problem):
+    """bf16 values select the MXU expansion/reduction backward; tolerance
+    reflects bf16 rounding of weights, values, and gM products."""
+    shapes, value, loc, attn = problem
+
+    def loss_ref(v, l, a):
+        return jnp.sum(deformable_attention_core(v, shapes, l, a) ** 2)
+
+    def loss_pal(v, l, a):
+        return jnp.sum(deformable_attention_pallas(
+            v.astype(jnp.bfloat16), shapes, l, a, True).astype(jnp.float32) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(value, loc, attn)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(value, loc, attn)
+    for a, b in zip(gr, gp):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b, np.float32) / scale,
+                                   np.asarray(a) / scale, atol=5e-2)
+
+
 def test_pallas_oob_zeros(problem):
     shapes, value, loc, attn = problem
     loc_oob = jnp.full_like(loc, 7.0)

@@ -100,7 +100,7 @@ def main():
         loader.start_iter = start_iter
 
     train_step = make_train_step(model, loss_fn, donate=config.TRAIN.DONATE)
-    forward = make_forward(model)
+    forward = make_forward(model, mesh if n_data > 1 else None)
 
     def eval_forward(images):
         return forward(state.params, state.batch_stats, images)
@@ -133,7 +133,8 @@ def main():
         if it % config.SAVE_FREQ_CHECKPOINT == 0 or it == config.TRAIN.ITERS:
             ckpt.save(it, state)
         if it % config.VALIDATE_FREQ == 0 or it == config.TRAIN.ITERS:
-            result = evaluate(eval_forward, val_dataset, config)
+            result = evaluate(eval_forward, val_dataset, config,
+                              mesh=mesh if n_data > 1 else None)
             ckpt.save_best(state, result["miou"])
 
     # final FLOPs/params report (reference train.py:239-260)

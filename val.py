@@ -47,14 +47,21 @@ def main():
         logger.info(f"loaded weights from {args.model_path}")
     logger.info(f"model params: {num_params(params) / 1e6:.2f}M")
 
-    forward_fn = make_forward(model)
+    mesh = None
+    if jax.device_count() > 1:
+        from emrt_tpu.parallel import create_mesh
+        mesh = create_mesh(config.PARALLEL.DATA, config.PARALLEL.MODEL)
+        logger.info(f"eval mesh: data={mesh.shape['data']} "
+                    f"model={mesh.shape['model']}")
+    forward_fn = make_forward(model, mesh)
 
     def forward(images):
         return forward_fn(params, batch_stats, images)
 
     dataset = get_dataset(config, build_val_transforms(config), mode="val")
     result = evaluate(forward, dataset, config,
-                      multi_scales=args.multi_scales or config.VAL.MULTI_SCALES_VAL)
+                      multi_scales=args.multi_scales or config.VAL.MULTI_SCALES_VAL,
+                      mesh=mesh)
     logger.info(f"final mIoU: {result['miou']:.4f} Acc: {result['acc']:.4f} "
                 f"Kappa: {result['kappa']:.4f} mF1: {result['mf1']:.4f}")
     # FLOPs / params (reference val.py:211-230, via XLA cost analysis)
