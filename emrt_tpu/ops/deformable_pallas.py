@@ -88,7 +88,7 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
             j = l * n_points + p
             x_pix = loc_ref[0, 0, :, 2 * j:2 * j + 1] * w - 0.5   # [tq, 1]
             y_pix = loc_ref[0, 0, :, 2 * j + 1:2 * j + 2] * h - 0.5
-            a = attn_ref[0, 0, :, j:j + 1]
+            a = attn_ref[0, 0, :, j:j + 1].astype(jnp.float32)
             wx_exp = _hat(col_t - x_pix)                          # [tq, hw]
             # a * hat(dy) == relu(a - a*|dy|) for a >= 0 (softmaxed)
             if bf16:
@@ -182,7 +182,7 @@ def _fused_bwd_kernel(loc_ref, attn_ref, vt_ref, g_ref, gv_ref, gloc_ref,
             jj = l * n_points + p
             x_pix = loc_ref[0, 0, :, 2 * jj:2 * jj + 1] * w - 0.5   # [tq, 1]
             y_pix = loc_ref[0, 0, :, 2 * jj + 1:2 * jj + 2] * h - 0.5
-            a = attn_ref[0, 0, :, jj:jj + 1]
+            a = attn_ref[0, 0, :, jj:jj + 1].astype(jnp.float32)
             dxs = col_t - x_pix
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
             dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
@@ -264,7 +264,7 @@ def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
     ).astype(jnp.float32)
     attn2 = jnp.swapaxes(
         attn_all.reshape(bs, lq, nh, n_levels * n_points), 1, 2
-    ).astype(jnp.float32)
+    ).astype(value.dtype)
     v2 = jnp.swapaxes(value, 1, 2)
     if pad:
         loc2 = jnp.pad(loc2, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -313,7 +313,7 @@ def _bwd(spatial_shapes, interpret, residuals, g):
     ).astype(jnp.float32)
     attn2 = jnp.swapaxes(
         attn_all.reshape(bs, lq, nh, n_levels * n_points), 1, 2
-    ).astype(jnp.float32)
+    ).astype(value.dtype)
     g2 = jnp.swapaxes(g.reshape(bs, lq, nh, c), 1, 2)
     if pad:
         loc2 = jnp.pad(loc2, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Capture a device trace of the EMRT forward and aggregate op times."""
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emrt_tpu.config import get_config
+from emrt_tpu.models import get_model
+
+
+def main():
+    cfg = get_config()
+    cfg.DATA.DATASET = "Synthetic"
+    cfg.DATA.NUM_CLASSES = 6
+    cfg.DATA.CROP_SIZE = (256, 256)
+    cfg.MODEL.NAME = "EMRT"
+    cfg.MODEL.ENCODER.TYPE = "resnet50"
+    cfg.MODEL.OUTPUT_STRIDE = 32
+    cfg.TRAIN.DTYPE = "bfloat16"
+    model = get_model(cfg)
+    rng = jax.random.key(0)
+    bs = 32
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -2, 2, (bs, 256, 256, 3)).astype(np.float32))
+    variables = jax.jit(lambda r, xx: model.init(r, xx, train=False))(rng, x[:1])
+
+    @jax.jit
+    def loop(c):
+        def body(i, c):
+            out = model.apply(variables, c, train=False)[0]
+            return c * 0.999 + out.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
+        return jax.lax.fori_loop(0, 3, body, c)
+
+    y = loop(x)
+    jax.block_until_ready(y)
+
+    os.system("rm -rf /tmp/trace")
+    with jax.profiler.trace("/tmp/trace"):
+        y = loop(x)
+        jax.block_until_ready(y)
+
+    files = glob.glob("/tmp/trace/**/*.trace.json.gz", recursive=True)
+    print("trace files:", files)
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    total = 0.0
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") != "X":
+                continue
+            name = ev.get("name", "?")
+            dur = ev.get("dur", 0) / 1e3  # ms
+            agg[name] += dur
+            cnt[name] += 1
+            total += dur
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
+    print(f"total event time {total:.1f} ms (3 iters)")
+    for name, ms in top:
+        print(f"{ms:9.2f} ms  x{cnt[name]:4d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
