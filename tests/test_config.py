@@ -78,3 +78,22 @@ def test_clone_and_freeze():
     except AttributeError:
         raised = True
     assert raised
+
+
+def test_all_shipped_configs_parse_and_build():
+    """Every yaml in configs/ (now name-for-name with the reference's 63-file
+    zoo, reference configs/**) parses through BASE inheritance and builds
+    its registered model."""
+    import os
+    from emrt_tpu.config import get_config
+    from emrt_tpu.models import get_model
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    n = 0
+    for d, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(".yaml"):
+                cfg = get_config(os.path.join(d, f))
+                assert get_model(cfg, use_pallas=False) is not None, f
+                n += 1
+    assert n >= 96
