@@ -42,46 +42,91 @@ def window_grid(img_h: int, img_w: int, crop, stride):
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _slide_fn(forward, bs: int, img_h: int, img_w: int, ch: int,
+              h_crop: int, w_crop: int, coords: tuple, win_per_chunk: int,
+              num_classes: int):
+    """ONE jitted whole-slide program for a given geometry: a fori_loop
+    over uniform window chunks, each iteration extracting its windows with
+    dynamic slices, running `forward` once (traced a single time), and
+    scatter-adding into the sum/count canvases. Coordinates are data, so
+    a 6000^2 Potsdam raster (1225 windows, 39 chunks) is a single dispatch
+    that never holds more than one chunk's windows/logits in HBM."""
+    coords_np = np.asarray(coords, np.int32)
+    n = coords_np.shape[0]
+    n_chunks = -(-n // win_per_chunk)
+    # pad the tail chunk by REPEATING the last window: its logits and its
+    # count both double, so canvas/count is unchanged — and every chunk
+    # shares the single traced (extract, forward, stitch) body
+    pad = n_chunks * win_per_chunk - n
+    if pad:
+        coords_np = np.concatenate(
+            [coords_np, np.repeat(coords_np[-1:], pad, 0)], 0)
+    coords_np = coords_np.reshape(n_chunks, win_per_chunk, 2)
+
+    @jax.jit
+    def slide(imgs):
+        coords_dev = jnp.asarray(coords_np)
+        canvas = jnp.zeros((bs, img_h, img_w, num_classes), jnp.float32)
+        count = jnp.zeros((bs, img_h, img_w, 1), jnp.float32)
+        one = jnp.ones((bs, h_crop, w_crop, 1), jnp.float32)
+
+        def chunk_body(ci, carry):
+            canvas, count = carry
+            cs = coords_dev[ci]                          # [k, 2]
+
+            def extract(c):
+                return jax.lax.dynamic_slice(
+                    imgs, (0, c[0], c[1], 0), (bs, h_crop, w_crop, ch))
+
+            wins = jax.lax.map(extract, cs)              # [k, bs, hc, wc, ch]
+            logits = forward(
+                wins.reshape(win_per_chunk * bs, h_crop, w_crop, ch))
+            logits = logits.reshape(win_per_chunk, bs, h_crop, w_crop,
+                                    num_classes).astype(jnp.float32)
+
+            def stitch_body(i, carry):
+                canvas, count = carry
+                h1, w1 = cs[i, 0], cs[i, 1]
+                blk = jax.lax.dynamic_slice(
+                    canvas, (0, h1, w1, 0), (bs, h_crop, w_crop, num_classes))
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, blk + logits[i], (0, h1, w1, 0))
+                cnt = jax.lax.dynamic_slice(count, (0, h1, w1, 0),
+                                            (bs, h_crop, w_crop, 1))
+                count = jax.lax.dynamic_update_slice(count, cnt + one,
+                                                     (0, h1, w1, 0))
+                return canvas, count
+
+            return jax.lax.fori_loop(0, win_per_chunk, stitch_body,
+                                     (canvas, count))
+
+        canvas, count = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                          (canvas, count))
+        return canvas / count
+
+    return slide
+
+
 def slide_inference(forward, imgs: jnp.ndarray, crop, stride,
                     num_classes: int, window_batch: int | None = None):
     """Overlap sliding-window logits for a uniform-shape NHWC batch.
 
-    forward: images [n, ch, cw, 3] -> logits [n, ch, cw, C].
+    forward: images [n, ch, cw, 3] -> logits [n, ch, cw, C]. Must be a
+    stable callable (cached per (forward, geometry) pair).
     Returns [bs, H, W, C] stitched (sum / count) logits.
     """
-    bs, img_h, img_w, _ = imgs.shape
+    bs, img_h, img_w, ch = imgs.shape
     w_crop, h_crop = crop
     h_crop = min(h_crop, img_h)
     w_crop = min(w_crop, img_w)
     coords = window_grid(img_h, img_w, (w_crop, h_crop), stride)
-
-    def stack_windows(cs):
-        return jnp.concatenate(
-            [jax.lax.slice(imgs, (0, h1, w1, 0),
-                           (bs, h1 + h_crop, w1 + w_crop, imgs.shape[3]))
-             for h1, w1 in cs], axis=0)
-
-    # Assemble windows lazily per chunk: a 6000^2 raster at stride 171 has
-    # ~1.2k windows — materializing them all at once before chunking would
-    # hold the full window set in HBM (VERDICT r1 weak #7).
-    if window_batch is None or len(coords) * bs <= window_batch:
-        logits = forward(stack_windows(coords))
-    else:
-        win_per_chunk = max(1, window_batch // bs)
-        chunks = []
-        for i in range(0, len(coords), win_per_chunk):
-            chunks.append(forward(stack_windows(coords[i:i + win_per_chunk])))
-        logits = jnp.concatenate(chunks, axis=0)
-    logits = logits.astype(jnp.float32)
-
-    canvas = jnp.zeros((bs, img_h, img_w, num_classes), jnp.float32)
-    count = jnp.zeros((bs, img_h, img_w, 1), jnp.float32)
-    one = jnp.ones((bs, h_crop, w_crop, 1), jnp.float32)
-    for i, (h1, w1) in enumerate(coords):
-        canvas = canvas.at[:, h1:h1 + h_crop, w1:w1 + w_crop, :].add(
-            logits[i * bs:(i + 1) * bs])
-        count = count.at[:, h1:h1 + h_crop, w1:w1 + w_crop, :].add(one)
-    return canvas / count
+    n = len(coords)
+    win_per_chunk = (n if window_batch is None
+                     else max(1, min(n, window_batch // max(bs, 1))))
+    fn = _slide_fn(forward, bs, img_h, img_w, ch, h_crop, w_crop,
+                   tuple(coords), win_per_chunk, num_classes)
+    return fn(imgs)
 
 
 def ss_inference(forward, imgs, ori_shape, is_slide: bool, base_size,

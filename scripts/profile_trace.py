@@ -72,5 +72,73 @@ def main():
         print(f"{ms:9.2f} ms  x{cnt[name]:4d}  {name[:110]}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and len(sys.argv) == 1:
     main()
+
+
+def module_budget():
+    """Join trace event durations with HLO op_name metadata and aggregate
+    by module path (usage: profile_trace.py budget)."""
+    import re
+    from collections import defaultdict
+
+    cfg = get_config()
+    cfg.DATA.DATASET = "Synthetic"
+    cfg.DATA.NUM_CLASSES = 6
+    cfg.DATA.CROP_SIZE = (256, 256)
+    cfg.MODEL.NAME = "EMRT"
+    cfg.MODEL.ENCODER.TYPE = "resnet50"
+    cfg.MODEL.OUTPUT_STRIDE = 32
+    cfg.TRAIN.DTYPE = "bfloat16"
+    model = get_model(cfg)
+    rng = jax.random.key(0)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        -2, 2, (32, 256, 256, 3)).astype(np.float32))
+    variables = jax.jit(lambda r, xx: model.init(r, xx, train=False))(rng, x[:1])
+
+    @jax.jit
+    def loop(c):
+        def body(i, c):
+            out = model.apply(variables, c, train=False)[0]
+            return c * 0.999 + out.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
+        return jax.lax.fori_loop(0, 3, body, c)
+
+    # name -> op_name map from compiled HLO
+    txt = loop.lower(x).compile().as_text()
+    name2op = {}
+    for m in re.finditer(r"%([\w.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", txt):
+        name2op[m.group(1)] = m.group(2)
+
+    y = loop(x)
+    jax.block_until_ready(y)
+    os.system("rm -rf /tmp/trace")
+    with jax.profiler.trace("/tmp/trace"):
+        y = loop(x)
+        jax.block_until_ready(y)
+
+    agg = defaultdict(float)
+    for f in glob.glob("/tmp/trace/**/*.trace.json.gz", recursive=True):
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") != "X":
+                continue
+            name = ev.get("name", "?")
+            op = name2op.get(name)
+            if op is None:
+                continue
+            # group: strip jit prefix, keep 3 path segments
+            parts = op.split("/")
+            parts = [p for p in parts if p not in (
+                "jit(loop)", "while", "body", "closed_call")]
+            key = "/".join(parts[:3])
+            agg[key] += ev.get("dur", 0) / 1e3 / 3  # per-iter ms
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:30]
+    total = sum(agg.values())
+    print(f"total mapped {total:.1f} ms/iter")
+    for k, ms in top:
+        print(f"{ms:8.2f} ms  {k}")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "budget":
+    module_budget()
