@@ -108,13 +108,52 @@ def _slide_fn(forward, bs: int, img_h: int, img_w: int, ch: int,
     return slide
 
 
+def _slide_small(forward, imgs, coords, h_crop, w_crop, num_classes,
+                 win_per_chunk):
+    """Unrolled static-slice slide for small window grids: XLA fuses and
+    overlaps the slices/stitch freely — measurably faster than the rolled
+    fori path at eval-sized grids (581 vs 434 tiles/s at 36 windows)."""
+    bs, img_h, img_w, _ = imgs.shape
+
+    def stack_windows(cs):
+        return jnp.concatenate(
+            [jax.lax.slice(imgs, (0, h1, w1, 0),
+                           (bs, h1 + h_crop, w1 + w_crop, imgs.shape[3]))
+             for h1, w1 in cs], axis=0)
+
+    chunks = []
+    for i in range(0, len(coords), win_per_chunk):
+        # ragged tails stay ragged here: padding them costs up to
+        # win_per_chunk-1 extra forwards per batch (-25% at 36 windows),
+        # while the extra compile shape is one-off
+        cs = list(coords[i:i + win_per_chunk])
+        chunks.append((forward(stack_windows(cs)).astype(jnp.float32), cs))
+
+    canvas = jnp.zeros((bs, img_h, img_w, num_classes), jnp.float32)
+    count = jnp.zeros((bs, img_h, img_w, 1), jnp.float32)
+    one = jnp.ones((bs, h_crop, w_crop, 1), jnp.float32)
+    for logits, cs in chunks:
+        for i, (h1, w1) in enumerate(cs):
+            canvas = canvas.at[:, h1:h1 + h_crop, w1:w1 + w_crop, :].add(
+                logits[i * bs:(i + 1) * bs])
+            count = count.at[:, h1:h1 + h_crop, w1:w1 + w_crop, :].add(one)
+    return canvas / count
+
+
+_BIG_RASTER_WINDOWS = 128
+
+
 def slide_inference(forward, imgs: jnp.ndarray, crop, stride,
                     num_classes: int, window_batch: int | None = None):
     """Overlap sliding-window logits for a uniform-shape NHWC batch.
 
     forward: images [n, ch, cw, 3] -> logits [n, ch, cw, C]. Must be a
-    stable callable (cached per (forward, geometry) pair).
+    stable callable (the big-raster path caches per (forward, geometry)).
     Returns [bs, H, W, C] stitched (sum / count) logits.
+
+    Small grids (eval-sized) use the unrolled static-slice path; big
+    rasters (> 128 windows, e.g. whole 6000^2 Potsdam tiles) switch to
+    the single-dispatch rolled program in _slide_fn.
     """
     bs, img_h, img_w, ch = imgs.shape
     w_crop, h_crop = crop
@@ -124,6 +163,9 @@ def slide_inference(forward, imgs: jnp.ndarray, crop, stride,
     n = len(coords)
     win_per_chunk = (n if window_batch is None
                      else max(1, min(n, window_batch // max(bs, 1))))
+    if n <= _BIG_RASTER_WINDOWS:
+        return _slide_small(forward, imgs, coords, h_crop, w_crop,
+                            num_classes, win_per_chunk)
     fn = _slide_fn(forward, bs, img_h, img_w, ch, h_crop, w_crop,
                    tuple(coords), win_per_chunk, num_classes)
     return fn(imgs)
