@@ -36,3 +36,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def tp_rule(path, leaf):
+    """PartitionSpec for tensor parallelism over the 'model' mesh axis:
+    column-shard the up-projections (FFN linear1, attention value_proj),
+    row-shard the down-projections (linear2, output_proj) — the classic
+    Megatron split. XLA/GSPMD propagates the shardings through the jitted
+    step and inserts the reduce-scatter/all-reduce collectives; everything
+    else stays replicated (the reference's only strategy was pure DP,
+    train.py:116-123)."""
+    keys = "/".join(str(getattr(k, "key", k)) for k in path)
+    if getattr(leaf, "ndim", 0) == 2 and "kernel" in keys:
+        if "linear1" in keys or "value_proj" in keys:
+            return P(None, "model")
+        if "linear2" in keys or "output_proj" in keys:
+            return P("model", None)
+    return P()
+
+
+def tp_shard_params(params, mesh: Mesh):
+    """device_put a param tree with Megatron-style TP shardings."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.device_put(
+            x, NamedSharding(mesh, tp_rule(p, x))), params)

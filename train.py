@@ -83,14 +83,22 @@ def main():
     init_rng, rng = jax.random.split(jax.random.key(config.SEED))
     from emrt_tpu.train.state import init_variables
     variables = init_variables(model, init_rng, sample["image"])
-    tx = get_optimizer(config, schedule, params=variables["params"],
+    params = variables["params"]
+    if mesh.shape["model"] > 1:
+        # PARALLEL.MODEL > 1: Megatron-style tensor parallelism — the
+        # transformer projections shard over the 'model' axis and GSPMD
+        # inserts the collectives; optimizer state follows the params
+        from emrt_tpu.parallel import tp_shard_params
+        params = tp_shard_params(params, mesh)
+        logger.info(f"tensor parallelism: model axis = {mesh.shape['model']}")
+    tx = get_optimizer(config, schedule, params=params,
                        decoder_lr_coef=config.TRAIN.DECODER_LR_COEF,
                        decoder_prefixes=getattr(model, "decoder_lr_prefixes", ()))
     from emrt_tpu.train.state import TrainState
     state = TrainState(step=jnp.zeros((), jnp.int32),
-                       params=variables["params"],
+                       params=params,
                        batch_stats=variables.get("batch_stats", {}),
-                       opt_state=tx.init(variables["params"]), tx=tx)
+                       opt_state=tx.init(params), tx=tx)
     logger.info(f"model params: {num_params(state.params) / 1e6:.2f}M")
 
     ckpt = CheckpointManager(config.SAVE_DIR, config.KEEP_CHECKPOINT_MAX)
