@@ -48,29 +48,33 @@ def _hat(dist):
 
 
 def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
-                      *, shapes, tq, n_points):
-    """Build M across all levels, then one out = M @ V matmul.
+                      *, shapes, tq, n_points, n_heads, c):
+    """Build M across all levels and heads, one M @ V matmul per head.
 
-    loc_ref  [1, 1, tq, L*P*2]   (x, y) interleaved, head-major layout
-    attn_ref [1, 1, tq, L*P]
-    v_ref    [1, 1, sum_hw, c]   this head's value rows
-    out_ref  [1, 1, tq, c]
-    m_ref    [tq, sum_hw] f32 scratch
+    All heads live in LANES (free views of the projection outputs — no
+    host-side transposes at all):
+      loc_ref  [1, tq, nh*L*P*2]   (head, level, point, xy) lane order
+      attn_ref [1, tq, nh*L*P]
+      v_ref    [1, sum_hw, nh*c]
+      out_ref  [1, tq, nh*c]
+      m_ref    [tq, sum_hw] f32 scratch, rebuilt per head
+    The constant col/row tables and one-hot expansion matrices are built
+    once per cell and shared by every head (8x fewer grid cells than the
+    head-per-cell layout).
 
     Per point, only the x-side hat runs at full [tq, hw] width against a
     constant col table (k % W). The y-side hat is computed small at
     [tq, H] and expanded to full width:
       * bf16 path: one-hot expansion matmul awy @ E on the MXU
-        (E[hh, k] = k//W == hh), overlapping with the VPU's x-side work
-        (~7 VPU passes/point instead of ~11; measured 8.8ms vs 16.7ms
-        for the bs=32 encoder call);
+        (E[hh, k] = k//W == hh), overlapping with the VPU's x-side work;
       * f32 path: full-width VPU hat against the row table (k // W) —
         exact, for strict golden parity.
     Accumulating through the scratch ref (not SSA) keeps Mosaic register
     pressure flat — long unrolled SSA chains at hw >= 1024 crash the
     compile helper."""
     bf16 = v_ref.dtype == jnp.bfloat16
-    off = 0
+    n_levels = len(shapes)
+    tables = []
     for l, (h, w) in enumerate(shapes):
         hw = h * w
         col_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) % w
@@ -81,38 +85,45 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
             kk = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 1)
             hh = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 0)
             expand = (kk // w == hh).astype(jnp.bfloat16)
+            tables.append((col_t, rowh, expand))
         else:
             row_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) // w
                      ).astype(jnp.float32)
-        for p in range(n_points):
-            j = l * n_points + p
-            x_pix = loc_ref[0, 0, :, 2 * j:2 * j + 1] * w - 0.5   # [tq, 1]
-            y_pix = loc_ref[0, 0, :, 2 * j + 1:2 * j + 2] * h - 0.5
-            a = attn_ref[0, 0, :, j:j + 1].astype(jnp.float32)
-            wx_exp = _hat(col_t - x_pix)                          # [tq, hw]
-            # a * hat(dy) == relu(a - a*|dy|) for a >= 0 (softmaxed)
-            if bf16:
-                awy_s = jnp.maximum(a - a * jnp.abs(rowh - y_pix), 0.0)
-                awy = jnp.dot(awy_s.astype(jnp.bfloat16), expand,
-                              preferred_element_type=jnp.float32)
-            else:
-                awy = jnp.maximum(a - a * jnp.abs(row_t - y_pix), 0.0)
-            plane = wx_exp * awy
-            if p == 0:
-                m_ref[:, off:off + hw] = plane
-            else:
-                m_ref[:, off:off + hw] += plane
-        off += hw
-    v = v_ref[0, 0]
-    if bf16:
-        out = jnp.dot(m_ref[:].astype(jnp.bfloat16), v,
-                      preferred_element_type=jnp.float32)
-    else:
-        out = jax.lax.dot_general(
-            m_ref[:], v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+            tables.append((col_t, row_t, None))
+
+    for hd in range(n_heads):
+        off = 0
+        for l, (h, w) in enumerate(shapes):
+            hw = h * w
+            col_t, row_tab, expand = tables[l]
+            for p in range(n_points):
+                j = (hd * n_levels + l) * n_points + p
+                x_pix = loc_ref[0, :, 2 * j:2 * j + 1] * w - 0.5   # [tq, 1]
+                y_pix = loc_ref[0, :, 2 * j + 1:2 * j + 2] * h - 0.5
+                a = attn_ref[0, :, j:j + 1].astype(jnp.float32)
+                # a * hat(dy) == relu(a - a*|dy|) for a >= 0 (softmaxed)
+                if bf16:
+                    awy_s = jnp.maximum(a - a * jnp.abs(row_tab - y_pix), 0.0)
+                    awy = jnp.dot(awy_s.astype(jnp.bfloat16), expand,
+                                  preferred_element_type=jnp.float32)
+                else:
+                    awy = jnp.maximum(a - a * jnp.abs(row_tab - y_pix), 0.0)
+                plane = _hat(col_t - x_pix) * awy
+                if p == 0:
+                    m_ref[:, off:off + hw] = plane
+                else:
+                    m_ref[:, off:off + hw] += plane
+            off += hw
+        v = v_ref[0, :, hd * c:(hd + 1) * c]
+        if bf16:
+            out = jnp.dot(m_ref[:].astype(jnp.bfloat16), v,
+                          preferred_element_type=jnp.float32)
+        else:
+            out = jax.lax.dot_general(
+                m_ref[:], v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+        out_ref[0, :, hd * c:(hd + 1) * c] = out.astype(out_ref.dtype)
 
 
 def _pick_tq(lq, lv):
@@ -124,7 +135,8 @@ def _pick_tq(lq, lv):
     budget = max(32, int(14.5e6 / (7 * 4 * lv)) // 8 * 8)
     if lq <= budget:
         return _round_up(lq, 8)
-    for tq in (512, 448, 384, 336, 256, 224, 192, 160, 128, 96, 64, 32):
+    for tq in (512, 448, 384, 336, 256, 224, 192, 168, 160, 128, 112,
+               96, 64, 32):
         if tq <= budget and lq % tq == 0:
             return tq
     return min(budget, 512)
@@ -247,7 +259,9 @@ def deformable_attention_pallas(value, spatial_shapes, sampling_locations,
 
 
 def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
-    """Fused forward: one pallas_call over (batch, heads, query tiles)."""
+    """Fused forward: one pallas_call over (batch, query tiles); heads
+    stay in lanes, so every input is a FREE reshape of the projection
+    outputs (no transposes)."""
     bs, lv, nh, c = value.shape
     lq = loc_all.shape[1]
     n_levels, n_points = loc_all.shape[3], loc_all.shape[4]
@@ -257,42 +271,37 @@ def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
     tq = _pick_tq(lq, lv)
     lq_pad = _round_up(lq, tq)
     pad = lq_pad - lq
-    # head-major layouts (Pallas blocks tile the LAST TWO dims):
-    # [bs, Lq, nh, L, P, 2] -> [bs, nh, Lq, L*P*2], value -> [bs, nh, Lv, c]
-    loc2 = jnp.swapaxes(
-        loc_all.reshape(bs, lq, nh, n_levels * n_points * 2), 1, 2
-    ).astype(jnp.float32)
-    attn2 = jnp.swapaxes(
-        attn_all.reshape(bs, lq, nh, n_levels * n_points), 1, 2
-    ).astype(value.dtype)
-    v2 = jnp.swapaxes(value, 1, 2)
+    loc2 = loc_all.reshape(bs, lq, nh * n_levels * n_points * 2
+                           ).astype(jnp.float32)
+    attn2 = attn_all.reshape(bs, lq, nh * n_levels * n_points
+                             ).astype(value.dtype)
+    v2 = value.reshape(bs, lv, nh * c)
     if pad:
-        loc2 = jnp.pad(loc2, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        attn2 = jnp.pad(attn2, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        loc2 = jnp.pad(loc2, ((0, 0), (0, pad), (0, 0)))
+        attn2 = jnp.pad(attn2, ((0, 0), (0, pad), (0, 0)))
 
     lp2, lp = loc2.shape[-1], attn2.shape[-1]
     out = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, shapes=tuple(spatial_shapes),
-                          tq=tq, n_points=n_points),
-        grid=(bs, nh, lq_pad // tq),
+                          tq=tq, n_points=n_points, n_heads=nh, c=c),
+        grid=(bs, lq_pad // tq),
         in_specs=[
-            pl.BlockSpec((1, 1, tq, lp2), lambda i, h, j: (i, h, j, 0),
+            pl.BlockSpec((1, tq, lp2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, lp), lambda i, h, j: (i, h, j, 0),
+            pl.BlockSpec((1, tq, lp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lv, c), lambda i, h, j: (i, h, 0, 0),
+            pl.BlockSpec((1, lv, nh * c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tq, c), lambda i, h, j: (i, h, j, 0),
+        out_specs=pl.BlockSpec((1, tq, nh * c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bs, nh, lq_pad, c), value.dtype),
+        out_shape=jax.ShapeDtypeStruct((bs, lq_pad, nh * c), value.dtype),
         scratch_shapes=[pltpu.VMEM((tq, lv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(loc2, attn2, v2)
-    out = jnp.swapaxes(out[:, :, :lq], 1, 2).reshape(bs, lq, nh * c)
-    return out, residuals
+    return out[:, :lq], residuals
 
 
 def _bwd(spatial_shapes, interpret, residuals, g):
