@@ -67,20 +67,17 @@ def main():
             except Exception:
                 continue
             diff = {}
-            ok = True
             for k, v in ref_cfg.items():
                 if k in SKIP_KEYS:
                     continue
-                bv = base_cfg.get(k)
-                if bv != v:
+                if base_cfg.get(k) != v:
                     diff[k] = v
-            if ok and (best_diff is None or len(diff) < len(best_diff)):
+            if best_diff is None or len(diff) < len(best_diff):
                 best, best_diff = cand, diff
         if best is None:
             failed.append((rel, "no base candidate"))
             continue
         # emit
-        depth = rel.count("/")
         base_ref = os.path.relpath(os.path.join(OURS, best),
                                    os.path.dirname(os.path.join(OURS, rel)))
         lines = [f"BASE: ['{base_ref}']"]
