@@ -234,3 +234,33 @@ def test_evaluate_mesh_sharded_matches_single_device():
     assert abs(out["miou"] - ref["miou"]) < 1e-6
     assert abs(out["acc"] - ref["acc"]) < 1e-6
     np.testing.assert_allclose(out["class_iou"], ref["class_iou"], atol=1e-6)
+
+
+def test_slide_big_raster_path_matches_small():
+    """The rolled single-dispatch slide program (> _BIG_RASTER_WINDOWS
+    windows) produces the same stitched logits as the unrolled path,
+    including the repeated-tail-window chunks."""
+    import numpy as np
+    import jax.numpy as jnp
+    from emrt_tpu.inference import slide as slide_mod
+    from emrt_tpu.inference.slide import slide_inference, window_grid
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.standard_normal((1, 70, 70, 3)).astype(np.float32))
+
+    def forward(x):
+        return jnp.concatenate([x, x[..., :1] * 0.5], axis=-1)  # 4 "classes"
+
+    coords = window_grid(70, 70, (16, 16), (9, 9))
+    assert len(coords) > 16
+    small = slide_inference(forward, imgs, (16, 16), (9, 9), 4,
+                            window_batch=5)
+    old_thresh = slide_mod._BIG_RASTER_WINDOWS
+    try:
+        slide_mod._BIG_RASTER_WINDOWS = 4  # force the rolled program
+        big = slide_inference(forward, imgs, (16, 16), (9, 9), 4,
+                              window_batch=5)
+    finally:
+        slide_mod._BIG_RASTER_WINDOWS = old_thresh
+    np.testing.assert_allclose(np.asarray(big), np.asarray(small),
+                               rtol=1e-5, atol=1e-5)
