@@ -126,13 +126,19 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
         out_ref[0, :, hd * c:(hd + 1) * c] = out.astype(out_ref.dtype)
 
 
-def _pick_tq(lq, lv):
+def _pick_tq(lq, lv, fixed_bytes=0):
     """Query tile: big tiles amortize per-cell overhead, but the kernel's
     VMEM footprint (M scratch + hoisted row tables + per-point
-    intermediates) is ~7 f32 buffers of [tq, lv] — stay under the 16MB
-    scoped limit with headroom (empirically tq=448 @ lv=1344 ran 192KB
-    over)."""
-    budget = max(32, int(14.5e6 / (7 * 4 * lv)) // 8 * 8)
+    intermediates) is ~7 f32 buffers of [tq, lv] on top of the fixed
+    blocks (value slab etc.) — stay under the 16MB scoped limit with
+    headroom (empirically tq=448 @ lv=1344 ran 192KB over, and the
+    512-input EMRT shapes at lv=5376 need the fixed term). Returns 0 if
+    even the smallest tile cannot fit (caller falls back to the jnp
+    path)."""
+    avail = 14.5e6 - fixed_bytes
+    if avail < 32 * 7 * 4 * lv:
+        return 0
+    budget = max(32, int(avail / (7 * 4 * lv)) // 8 * 8)
     if lq <= budget:
         return _round_up(lq, 8)
     for tq in (512, 448, 384, 336, 256, 224, 192, 168, 160, 128, 112,
@@ -268,7 +274,13 @@ def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
     assert lv == sum(h * w for h, w in spatial_shapes)
     residuals = (value, loc_all, attn_all)
 
-    tq = _pick_tq(lq, lv)
+    # fixed VMEM: double-buffered value slab + out block
+    tq = _pick_tq(lq, lv, fixed_bytes=int(2.5 * lv * nh * c
+                                          * value.dtype.itemsize))
+    if tq == 0:
+        from .deformable import deformable_attention_core
+        return (deformable_attention_core(value, spatial_shapes, loc_all,
+                                          attn_all), residuals)
     lq_pad = _round_up(lq, tq)
     pad = lq_pad - lq
     loc2 = loc_all.reshape(bs, lq, nh * n_levels * n_points * 2
@@ -314,7 +326,14 @@ def _bwd(spatial_shapes, interpret, residuals, g):
     n_levels, n_points = loc_all.shape[3], loc_all.shape[4]
 
     # the backward holds ~1.5x the forward's f32 [tq, lv] buffers
-    tq = _pick_tq(lq, int(1.5 * lv))
+    tq = _pick_tq(lq, int(1.5 * lv),
+                  fixed_bytes=int(2.5 * lv * nh * c * value.dtype.itemsize))
+    if tq == 0:
+        from .deformable import deformable_attention_core
+        _, vjp = jax.vjp(
+            lambda v, l, a: deformable_attention_core(
+                v, spatial_shapes, l, a), value, loc_all, attn_all)
+        return vjp(g)
     lq_pad = _round_up(lq, tq)
     pad = lq_pad - lq
     loc2 = jnp.swapaxes(
