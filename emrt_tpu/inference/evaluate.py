@@ -39,7 +39,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _variable_shape_predict(forward, imgs, labels, config, multi_scales,
                             crop_size, stride_size, num_classes,
-                            ignore_index, window_batch):
+                            ignore_index, window_batch, fwd_args=()):
     """Shape-diverse batches (ADE20K / PascalContext / Cityscapes val):
     pad images into a 128-aligned bucket canvas (top-left), slide over the
     canvas, then resize each image's logits region back to ITS OWN label
@@ -82,7 +82,7 @@ def _variable_shape_predict(forward, imgs, labels, config, multi_scales,
         for flip in flips:
             x = scaled[:, :, ::-1] if flip else scaled
             logits = slide_inference(forward, x, crop_size, stride_size,
-                                     num_classes, window_batch)
+                                     num_classes, window_batch, fwd_args)
             if flip:
                 logits = logits[:, :, ::-1]
             resized = batched_resize_bilinear_padded(logits, s_src, dst_hw,
@@ -94,8 +94,12 @@ def _variable_shape_predict(forward, imgs, labels, config, multi_scales,
 
 
 def evaluate(forward, dataset, config, multi_scales: bool = False,
-             window_batch: int | None = None, mesh=None):
-    """forward: images [n,h,w,3] -> main logits [n,h,w,C] (jitted).
+             window_batch: int | None = None, mesh=None, fwd_args=(),
+             progbar: bool = True):
+    """forward: (images [n,h,w,3], *fwd_args) -> main logits [n,h,w,C]
+    (jitted). Pass per-call state (params, batch_stats) via fwd_args — the
+    big-raster slide program is cached per (forward, geometry) and bakes
+    closed-over arrays in as constants.
 
     With a mesh (build forward via make_forward(model, mesh)), the
     confusion-area reduction also runs sharded over the 'data' axis: the
@@ -131,6 +135,11 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
 
     start = time.time()
     n_img = 0
+    # reference shows a progress bar during validation (val.py:190-191)
+    bar = None
+    if progbar:
+        from ..utils.progbar import Progbar
+        bar = Progbar(target=len(dataset), unit_name="img")
     for batch in val_batches(dataset, batch_size):
         imgs = [b[0] for b in batch]
         labels = [b[1] for b in batch]
@@ -152,22 +161,29 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
                                     crop_size, num_classes,
                                     scales=config.VAL.SCALE_RATIOS,
                                     flip_horizontal=True,
-                                    window_batch=window_batch)
+                                    window_batch=window_batch,
+                                    fwd_args=fwd_args)
             else:
                 pred = ss_inference(forward, img_batch, ori_shape, True,
                                     config.VAL.IMAGE_BASE_SIZE, stride_size,
                                     crop_size, num_classes,
                                     rescale_from_ori=config.VAL.RESCALE_FROM_ORI,
-                                    window_batch=window_batch)
+                                    window_batch=window_batch,
+                                    fwd_args=fwd_args)
             label_batch = jnp.asarray(np.stack(labels).reshape(pred.shape))
         else:
             pred, label_batch = _variable_shape_predict(
                 forward, imgs, labels, config, multi_scales, crop_size,
-                stride_size, num_classes, ignore_index, window_batch)
+                stride_size, num_classes, ignore_index, window_batch,
+                fwd_args)
         cm = cm_fn(pred, label_batch)
         acc.update_areas(jnp.diagonal(cm), cm.sum(axis=0), cm.sum(axis=1))
         n_img += n_real
+        if bar is not None:
+            bar.update(n_img)
 
+    if bar is not None:
+        bar.update(n_img, finalize=True)
     val_time = time.time() - start
     result = acc.summarize()
     result["val_time"] = val_time

@@ -51,7 +51,13 @@ def _slide_fn(forward, bs: int, img_h: int, img_w: int, ch: int,
     dynamic slices, running `forward` once (traced a single time), and
     scatter-adding into the sum/count canvases. Coordinates are data, so
     a 6000^2 Potsdam raster (1225 windows, 39 chunks) is a single dispatch
-    that never holds more than one chunk's windows/logits in HBM."""
+    that never holds more than one chunk's windows/logits in HBM.
+
+    The returned program takes ``(imgs, *fwd_args)`` and calls
+    ``forward(windows, *fwd_args)`` — anything that changes between calls
+    (params, batch_stats) MUST flow through fwd_args; values `forward`
+    merely closes over are baked into the cached executable as constants
+    at first trace and go stale (advisor finding, round 2)."""
     coords_np = np.asarray(coords, np.int32)
     n = coords_np.shape[0]
     n_chunks = -(-n // win_per_chunk)
@@ -65,7 +71,7 @@ def _slide_fn(forward, bs: int, img_h: int, img_w: int, ch: int,
     coords_np = coords_np.reshape(n_chunks, win_per_chunk, 2)
 
     @jax.jit
-    def slide(imgs):
+    def slide(imgs, *fwd_args):
         coords_dev = jnp.asarray(coords_np)
         canvas = jnp.zeros((bs, img_h, img_w, num_classes), jnp.float32)
         count = jnp.zeros((bs, img_h, img_w, 1), jnp.float32)
@@ -81,7 +87,8 @@ def _slide_fn(forward, bs: int, img_h: int, img_w: int, ch: int,
 
             wins = jax.lax.map(extract, cs)              # [k, bs, hc, wc, ch]
             logits = forward(
-                wins.reshape(win_per_chunk * bs, h_crop, w_crop, ch))
+                wins.reshape(win_per_chunk * bs, h_crop, w_crop, ch),
+                *fwd_args)
             logits = logits.reshape(win_per_chunk, bs, h_crop, w_crop,
                                     num_classes).astype(jnp.float32)
 
@@ -109,7 +116,7 @@ def _slide_fn(forward, bs: int, img_h: int, img_w: int, ch: int,
 
 
 def _slide_small(forward, imgs, coords, h_crop, w_crop, num_classes,
-                 win_per_chunk):
+                 win_per_chunk, fwd_args=()):
     """Unrolled static-slice slide for small window grids: XLA fuses and
     overlaps the slices/stitch freely — measurably faster than the rolled
     fori path at eval-sized grids (581 vs 434 tiles/s at 36 windows)."""
@@ -127,7 +134,8 @@ def _slide_small(forward, imgs, coords, h_crop, w_crop, num_classes,
         # win_per_chunk-1 extra forwards per batch (-25% at 36 windows),
         # while the extra compile shape is one-off
         cs = list(coords[i:i + win_per_chunk])
-        chunks.append((forward(stack_windows(cs)).astype(jnp.float32), cs))
+        chunks.append((forward(stack_windows(cs), *fwd_args)
+                       .astype(jnp.float32), cs))
 
     canvas = jnp.zeros((bs, img_h, img_w, num_classes), jnp.float32)
     count = jnp.zeros((bs, img_h, img_w, 1), jnp.float32)
@@ -144,11 +152,15 @@ _BIG_RASTER_WINDOWS = 128
 
 
 def slide_inference(forward, imgs: jnp.ndarray, crop, stride,
-                    num_classes: int, window_batch: int | None = None):
+                    num_classes: int, window_batch: int | None = None,
+                    fwd_args=()):
     """Overlap sliding-window logits for a uniform-shape NHWC batch.
 
-    forward: images [n, ch, cw, 3] -> logits [n, ch, cw, C]. Must be a
-    stable callable (the big-raster path caches per (forward, geometry)).
+    forward: (images [n, ch, cw, 3], *fwd_args) -> logits [n, ch, cw, C].
+    Must be a stable callable (the big-raster path caches per
+    (forward, geometry)); anything that changes between calls — params,
+    batch_stats — must be passed via fwd_args, NOT closed over, or it is
+    baked into the cached big-raster executable at first trace.
     Returns [bs, H, W, C] stitched (sum / count) logits.
 
     Small grids (eval-sized) use the unrolled static-slice path; big
@@ -165,20 +177,20 @@ def slide_inference(forward, imgs: jnp.ndarray, crop, stride,
                      else max(1, min(n, window_batch // max(bs, 1))))
     if n <= _BIG_RASTER_WINDOWS:
         return _slide_small(forward, imgs, coords, h_crop, w_crop,
-                            num_classes, win_per_chunk)
+                            num_classes, win_per_chunk, fwd_args)
     fn = _slide_fn(forward, bs, img_h, img_w, ch, h_crop, w_crop,
                    tuple(coords), win_per_chunk, num_classes)
-    return fn(imgs)
+    return fn(imgs, *fwd_args)
 
 
 def ss_inference(forward, imgs, ori_shape, is_slide: bool, base_size,
                  stride_size, crop_size, num_classes: int,
                  rescale_from_ori: bool = False,
-                 window_batch: int | None = None):
+                 window_batch: int | None = None, fwd_args=()):
     """Single-scale inference -> per-image argmax predictions
     (reference infer.py:82-157). imgs: uniform NHWC batch."""
     if not is_slide:
-        logits = forward(imgs).astype(jnp.float32)
+        logits = forward(imgs, *fwd_args).astype(jnp.float32)
     else:
         if rescale_from_ori and base_size:
             h, w = imgs.shape[1:3]
@@ -188,7 +200,7 @@ def ss_inference(forward, imgs, ori_shape, is_slide: bool, base_size,
                 imgs = resize_bilinear(imgs, (nh, nw))
             # fallthrough into slide on the rescaled batch
         logits = slide_inference(forward, imgs, crop_size, stride_size,
-                                 num_classes, window_batch)
+                                 num_classes, window_batch, fwd_args)
     if ori_shape is not None:
         logits = resize_bilinear(logits, ori_shape, align_corners=False)
         prob = jax.nn.softmax(logits, axis=-1)
@@ -200,7 +212,7 @@ def ms_inference(forward, imgs, ori_shape, is_slide: bool, base_size,
                  stride_size, crop_size, num_classes: int,
                  scales=(1.0,), flip_horizontal: bool = True,
                  flip_vertical: bool = False,
-                 window_batch: int | None = None):
+                 window_batch: int | None = None, fwd_args=()):
     """Multi-scale + flip TTA -> argmax predictions (reference infer.py:160-260)."""
     bs, h_input, w_input, _ = imgs.shape
     if ori_shape is None:
@@ -215,18 +227,20 @@ def ms_inference(forward, imgs, ori_shape, is_slide: bool, base_size,
             h, w = (int(short * h / w), short) if h > w else (short, int(short * w / h))
         scaled = resize_bilinear(imgs, (h, w))
         logit = slide_inference(forward, scaled, crop_size, stride_size,
-                                num_classes, window_batch)
+                                num_classes, window_batch, fwd_args)
         logit = resize_bilinear(logit, ori_shape, align_corners=False)
         final = final + jax.nn.softmax(logit, axis=-1)
         if flip_horizontal:
             logit = slide_inference(forward, scaled[:, :, ::-1], crop_size,
-                                    stride_size, num_classes, window_batch)
+                                    stride_size, num_classes, window_batch,
+                                    fwd_args)
             logit = logit[:, :, ::-1]
             logit = resize_bilinear(logit, ori_shape, align_corners=False)
             final = final + jax.nn.softmax(logit, axis=-1)
         if flip_vertical:
             logit = slide_inference(forward, scaled[:, ::-1], crop_size,
-                                    stride_size, num_classes, window_batch)
+                                    stride_size, num_classes, window_batch,
+                                    fwd_args)
             logit = logit[:, ::-1]
             logit = resize_bilinear(logit, ori_shape, align_corners=False)
             final = final + jax.nn.softmax(logit, axis=-1)

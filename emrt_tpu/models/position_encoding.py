@@ -60,6 +60,14 @@ class LearnedPositionEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, h: int, w: int) -> jnp.ndarray:
+        # JAX clamps out-of-bounds gathers instead of erroring (the
+        # reference would raise), which would silently reuse the last table
+        # row for every position >= num_embeddings — fail loudly instead.
+        if h > self.num_embeddings or w > self.num_embeddings:
+            raise ValueError(
+                f"LearnedPositionEmbedding table holds {self.num_embeddings} "
+                f"positions per axis but the feature map is {h}x{w}; "
+                f"increase num_embeddings or use the sine embedding")
         row = nn.Embed(self.num_embeddings, self.num_pos_feats,
                        name="row_embed")(jnp.arange(h))
         col = nn.Embed(self.num_embeddings, self.num_pos_feats,

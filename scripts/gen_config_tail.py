@@ -17,7 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REF = "/root/reference/semantic_segmentation/configs"
 OURS = "configs"
 SKIP_KEYS = {"DATA.DATA_PATH", "MODEL.PRETRAINED", "SAVE_DIR",
-             "MODEL.ENCODER.PRETRAINED"}
+             "MODEL.ENCODER.PRETRAINED",
+             # The resolved tree's own BASE leaf must never be re-emitted as
+             # an override: YAML last-wins would clobber the real BASE line.
+             "BASE"}
 
 
 def flat(node, prefix=""):

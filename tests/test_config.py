@@ -89,11 +89,38 @@ def test_all_shipped_configs_parse_and_build():
     from emrt_tpu.models import get_model
 
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    ref_root = "/root/reference/semantic_segmentation/configs"
     n = 0
     for d, _, files in os.walk(root):
         for f in sorted(files):
             if f.endswith(".yaml"):
-                cfg = get_config(os.path.join(d, f))
+                path = os.path.join(d, f)
+                with open(path) as fh:
+                    text = fh.read()
+                # A duplicate top-level BASE key silently clobbers the real
+                # base via YAML last-wins (advisor finding, round 2).
+                n_base = sum(1 for ln in text.splitlines()
+                             if ln.startswith("BASE:"))
+                assert n_base <= 1, f"{f}: duplicate BASE key"
+                cfg = get_config(path)
                 assert get_model(cfg, use_pallas=False) is not None, f
+                # Same-named reference configs must resolve to the same
+                # model family and dataset.
+                rel = os.path.relpath(path, root)
+                ref_path = os.path.join(ref_root, rel)
+                if os.path.exists(ref_path):
+                    import yaml
+                    with open(ref_path) as fh:
+                        ref = yaml.safe_load(fh)
+                    ref_name = (ref.get("MODEL") or {}).get("NAME")
+                    ref_ds = (ref.get("DATA") or {}).get("DATASET")
+                    if ref_name:
+                        assert cfg.MODEL.NAME == ref_name, (
+                            f"{rel}: MODEL.NAME {cfg.MODEL.NAME!r} != "
+                            f"reference {ref_name!r}")
+                    if ref_ds:
+                        assert cfg.DATA.DATASET == ref_ds, (
+                            f"{rel}: DATASET {cfg.DATA.DATASET!r} != "
+                            f"reference {ref_ds!r}")
                 n += 1
     assert n >= 96

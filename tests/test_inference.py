@@ -264,3 +264,30 @@ def test_slide_big_raster_path_matches_small():
         slide_mod._BIG_RASTER_WINDOWS = old_thresh
     np.testing.assert_allclose(np.asarray(big), np.asarray(small),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_big_raster_slide_params_not_baked():
+    """Regression (advisor, round 2): the cached big-raster slide program
+    must take per-call state via fwd_args — a stable forward callable with
+    CHANGED params must produce changed outputs, not replay constants
+    baked in at first trace."""
+    from emrt_tpu.inference import slide as slide_mod
+    from emrt_tpu.inference.slide import slide_inference
+
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.standard_normal((1, 40, 40, 3)).astype(np.float32))
+
+    def forward(x, scale):   # ONE stable callable across both calls
+        return x[..., :2] * scale
+
+    old = slide_mod._BIG_RASTER_WINDOWS
+    try:
+        slide_mod._BIG_RASTER_WINDOWS = 2  # force the rolled cached path
+        out1 = slide_inference(forward, imgs, (16, 16), (9, 9), 2,
+                               window_batch=4, fwd_args=(jnp.float32(1.0),))
+        out2 = slide_inference(forward, imgs, (16, 16), (9, 9), 2,
+                               window_batch=4, fwd_args=(jnp.float32(3.0),))
+    finally:
+        slide_mod._BIG_RASTER_WINDOWS = old
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1) * 3.0,
+                               rtol=1e-5, atol=1e-5)

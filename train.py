@@ -110,17 +110,21 @@ def main():
     train_step = make_train_step(model, loss_fn, donate=config.TRAIN.DONATE)
     forward = make_forward(model, mesh if n_data > 1 else None)
 
-    def eval_forward(images):
-        return forward(state.params, state.batch_stats, images)
+    def eval_forward(images, params, batch_stats):
+        # params/batch_stats flow as fwd_args so the cached big-raster
+        # slide program never bakes them in as constants
+        return forward(params, batch_stats, images)
 
     batch_cost = TimeAverager()
     reader_cost = TimeAverager()
     timer = Timer()
     it = start_iter
+    window_losses = []   # device scalars; averaged lazily at log time
     for batch in loader:
         reader_cost.record(timer.restart())
         it += 1
         state, metrics = train_step(state, batch, rng)
+        window_losses.append(metrics["loss"])
         if it % config.LOGGING_INFO_FREQ == 0 or it == config.TRAIN.ITERS:
             jax.block_until_ready(metrics["loss"])
         batch_cost.record(timer.restart(), num_samples=global_batch)
@@ -129,9 +133,12 @@ def main():
             lr = float(schedule(jnp.asarray(it)))
             ips = batch_cost.get_ips_average()
             eta = calculate_eta(config.TRAIN.ITERS - it, batch_cost.get_average())
+            # windowed-average loss, like the reference (train.py:170-185)
+            avg_loss = float(jnp.mean(jnp.stack(window_losses)))
+            window_losses = []
             logger.info(
                 f"[TRAIN] iter {it}/{config.TRAIN.ITERS} "
-                f"loss: {float(metrics['loss']):.4f} lr: {lr:.6f} "
+                f"loss: {avg_loss:.4f} lr: {lr:.6f} "
                 f"batch_cost: {batch_cost.get_average():.4f}s "
                 f"reader_cost: {reader_cost.get_average():.4f}s "
                 f"ips: {ips:.1f} ETA {eta}")
@@ -142,7 +149,8 @@ def main():
             ckpt.save(it, state)
         if it % config.VALIDATE_FREQ == 0 or it == config.TRAIN.ITERS:
             result = evaluate(eval_forward, val_dataset, config,
-                              mesh=mesh if n_data > 1 else None)
+                              mesh=mesh if n_data > 1 else None,
+                              fwd_args=(state.params, state.batch_stats))
             ckpt.save_best(state, result["miou"])
 
     # final FLOPs/params report (reference train.py:239-260)

@@ -55,13 +55,13 @@ def main():
                     f"model={mesh.shape['model']}")
     forward_fn = make_forward(model, mesh)
 
-    def forward(images):
-        return forward_fn(params, batch_stats, images)
+    def forward(images, p, bs):
+        return forward_fn(p, bs, images)
 
     dataset = get_dataset(config, build_val_transforms(config), mode="val")
     result = evaluate(forward, dataset, config,
                       multi_scales=args.multi_scales or config.VAL.MULTI_SCALES_VAL,
-                      mesh=mesh)
+                      mesh=mesh, fwd_args=(params, batch_stats))
     logger.info(f"final mIoU: {result['miou']:.4f} Acc: {result['acc']:.4f} "
                 f"Kappa: {result['kappa']:.4f} mF1: {result['mf1']:.4f}")
     # FLOPs / params (reference val.py:211-230, via XLA cost analysis)
