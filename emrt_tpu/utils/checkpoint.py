@@ -162,3 +162,28 @@ def load_pretrained_model(path: str, params, batch_stats=None):
                 bs_target[key] = np.asarray(bs_loaded[key])
         batch_stats = tu.unflatten_dict(bs_target)
     return new_params, batch_stats
+
+
+def load_weights_auto(path: str, params, batch_stats, model_name: str = "",
+                      encoder_type: str = "", partial: bool = False):
+    """Load weights from an orbax dir OR a Paddle ``.pdparams`` file.
+
+    ``.pdparams`` files go through the key-map converter
+    (utils/pdparams.py); orbax directories restore exactly (partial=False)
+    or with shape-checked partial matching + pos-embed interpolation
+    (partial=True, the reference's load_pretrained_model semantics,
+    checkpoint.py:38-93). MODEL.PRETRAINED and val.py --model_path both
+    route through here.
+    """
+    if path.endswith(".pdparams"):
+        from .pdparams import convert_pdparams, read_pdparams
+        pd = read_pdparams(path)
+        params, batch_stats, report = convert_pdparams(
+            pd, params, batch_stats, model_name, encoder_type)
+        skipped = len(report["missing"]) + len(report["unmatched_flax"])
+        logger.info(f"pretrained load: {report['matched']} matched, "
+                    f"{skipped} skipped")
+        return params, batch_stats
+    if partial:
+        return load_pretrained_model(path, params, batch_stats)
+    return load_model_weights(path, params, batch_stats)

@@ -112,11 +112,18 @@ def _resnet_block_map():
     return table
 
 
-def emrt_r50_key_map(num_enc_layers: int = 4, num_dec_layers: int = 2):
-    """Mapping: flax '/'-path -> (pdparams key, transform tag).
+def emrt_trunk_key_map(num_enc_layers: int = 4, num_dec_layers: int = 2):
+    """EMRT trunk mapping shared by ALL backbone variants: flax '/'-path ->
+    (pdparams key, transform tag).
+
+    Covers spatial_branch / psp_module / uphead / cls_psp / EFP / auxlayer
+    and the 'model.' EncoderDecoder (identical attribute layout across
+    paddle_EMRT.py, paddle_EMRT_cswin_backbone.py and
+    paddle_EMRT_hrnet_backbone.py — the _cswin EncoderDecoder is a byte
+    duplicate of the base one).
 
     Tags: 'conv' (NCHW->NHWC), 'id' (copy), 'qkv:i' (fused in_proj slice),
-    'heads' (dense -> per-head), 'out_heads' (out_proj -> per-head in-dim).
+    'out_heads' (out_proj -> per-head in-dim), 'pos_embed' (grid interp).
     Returns (param_map, stats_map, fold_bias) where fold_bias maps a flax
     BN-mean stats path to the pd conv-bias key subtracted from it.
     """
@@ -137,20 +144,6 @@ def emrt_r50_key_map(num_enc_layers: int = 4, num_dec_layers: int = 2):
     def dense(flax_prefix: str, pd_prefix: str):
         pmap[f"{flax_prefix}/kernel"] = (f"{pd_prefix}.weight", "id")
         pmap[f"{flax_prefix}/bias"] = (f"{pd_prefix}.bias", "id")
-
-    # --- backbone (torchvision-style resnet50, paddle_vision_resnet.py) ---
-    pmap["backbone/Conv_0/kernel"] = ("backbone.conv1.weight", "conv")
-    bn("backbone/_BN_0/BatchNorm_0", "backbone.bn1")
-    for n, ref in _resnet_block_map().items():
-        base = f"backbone/Bottleneck_{n}"
-        for j in range(3):
-            pmap[f"{base}/Conv_{j}/kernel"] = (
-                f"backbone.{ref}.conv{j + 1}.weight", "conv")
-            bn(f"{base}/_BN_{j}/BatchNorm_0", f"backbone.{ref}.bn{j + 1}")
-        if ref.endswith(".0"):  # downsample on the first block of each stage
-            pmap[f"{base}/Conv_3/kernel"] = (
-                f"backbone.{ref}.downsample.0.weight", "conv")
-            bn(f"{base}/_BN_3/BatchNorm_0", f"backbone.{ref}.downsample.1")
 
     # --- spatial branch (paddle_EMRT.py:80-113) ---
     for i in range(3):
@@ -245,6 +238,32 @@ def emrt_r50_key_map(num_enc_layers: int = 4, num_dec_layers: int = 2):
     return pmap, smap, fold
 
 
+def emrt_r50_key_map(num_enc_layers: int = 4, num_dec_layers: int = 2):
+    """EMRT-r50: trunk + torchvision-style resnet50 backbone
+    (paddle_vision_resnet.py)."""
+    pmap, smap, fold = emrt_trunk_key_map(num_enc_layers, num_dec_layers)
+
+    def bn(flax_prefix: str, pd_prefix: str):
+        pmap[f"{flax_prefix}/scale"] = (f"{pd_prefix}.weight", "id")
+        pmap[f"{flax_prefix}/bias"] = (f"{pd_prefix}.bias", "id")
+        smap[f"{flax_prefix}/mean"] = (f"{pd_prefix}._mean", "id")
+        smap[f"{flax_prefix}/var"] = (f"{pd_prefix}._variance", "id")
+
+    pmap["backbone/Conv_0/kernel"] = ("backbone.conv1.weight", "conv")
+    bn("backbone/_BN_0/BatchNorm_0", "backbone.bn1")
+    for n, ref in _resnet_block_map().items():
+        base = f"backbone/Bottleneck_{n}"
+        for j in range(3):
+            pmap[f"{base}/Conv_{j}/kernel"] = (
+                f"backbone.{ref}.conv{j + 1}.weight", "conv")
+            bn(f"{base}/_BN_{j}/BatchNorm_0", f"backbone.{ref}.bn{j + 1}")
+        if ref.endswith(".0"):  # downsample on the first block of each stage
+            pmap[f"{base}/Conv_3/kernel"] = (
+                f"backbone.{ref}.downsample.0.weight", "conv")
+            bn(f"{base}/_BN_3/BatchNorm_0", f"backbone.{ref}.downsample.1")
+    return pmap, smap, fold
+
+
 def _apply(tag: str, value: np.ndarray, target: np.ndarray) -> np.ndarray:
     if tag == "conv":
         return _conv(value)
@@ -262,13 +281,100 @@ def _apply(tag: str, value: np.ndarray, target: np.ndarray) -> np.ndarray:
     if tag == "out_heads":
         # paddle [E_in, E_out] -> flax [heads, head_dim, E_out]
         return value.reshape(target.shape)
+    if tag == "pos_embed":
+        if value.shape == tuple(target.shape):
+            return value
+        from .checkpoint import _interp_pos_embed
+        return _interp_pos_embed(value, target.shape)
     raise ValueError(f"unknown transform {tag}")
 
 
-def convert_emrt_r50(pd: Dict[str, np.ndarray], params, batch_stats):
-    """Convert a reference EMRT-r50 state dict into (params, batch_stats).
+def build_key_map(flat_p, model_name: str, encoder_type: str = ""):
+    """Dispatch to the right per-family key map.
 
-    Returns new trees plus a report dict {matched, missing, unused}.
+    Returns (pmap, smap, fold, expect_unused) where expect_unused is a
+    tuple of pd-key substrings that are legitimately dead weight in the
+    checkpoint (e.g. tgt_embed, the SegFormer wrapper's unused head).
+    Model dispatch mirrors the reference registry's substring rules
+    (src/models/__init__.py:14-40).
+    """
+    from . import pdparams_maps as M
+
+    def merge(a, b):
+        for d, s in zip(a, b):
+            d.update(s)
+
+    name = model_name or ""
+    enc = (encoder_type or "").lower()
+    n_enc = sum(1 for k in flat_p if k.startswith("encoder_decoder/encoder_layer")
+                and k.endswith("norm1/scale"))
+    n_dec = sum(1 for k in flat_p if k.startswith("encoder_decoder/decoder_layer")
+                and k.endswith("norm1/scale"))
+    expect_unused = ("tgt_embed.weight",)
+
+    if "SETR" in name:
+        return (*M.setr_key_map(flat_p), ())
+
+    if "EMRT" not in name:
+        raise NotImplementedError(
+            f"no .pdparams key map for model {model_name!r} "
+            f"(families covered: EMRT r50/cswin/vit/hrnet/segformer_b4, SETR)")
+
+    maps = emrt_trunk_key_map(n_enc, n_dec)
+    if "EMRT_CSwin" in name or enc == "cswintransformer":
+        if enc == "vit":
+            merge(maps, M.vit_backbone_map(flat_p, flax="backbone",
+                                           pd="encoder.transformer"))
+        else:
+            merge(maps, M.cswin_backbone_map(flat_p, flax="backbone",
+                                             pd="encoder"))
+        for i in range(4):   # per-tap LayerNorms (cswin_backbone.py:236-251)
+            maps[0][f"tap_norm{i}/scale"] = (f"layer_norms.{i}.weight", "id")
+            maps[0][f"tap_norm{i}/bias"] = (f"layer_norms.{i}.bias", "id")
+    elif "EMRT_ViT" in name or enc == "vit":
+        merge(maps, M.vit_backbone_map(flat_p, flax="backbone",
+                                       pd="encoder.transformer"))
+        for i in range(4):
+            maps[0][f"tap_norm{i}/scale"] = (f"layer_norms.{i}.weight", "id")
+            maps[0][f"tap_norm{i}/bias"] = (f"layer_norms.{i}.bias", "id")
+    elif "EMRT_HRNet" in name or enc == "hrnet":
+        merge(maps, M.hrnet_backbone_map(flat_p, flax="backbone",
+                                         pd="backbone"))
+        for i in range(3):   # strided pre-projections (hrnet_backbone.py:190-197)
+            maps[0][f"input_pre{i}/Conv_0/kernel"] = (
+                f"input_proj.{i}.0.weight", "conv")
+            maps[0][f"input_pre{i}/BatchNorm_0/scale"] = (
+                f"input_proj.{i}.1.weight", "id")
+            maps[0][f"input_pre{i}/BatchNorm_0/bias"] = (
+                f"input_proj.{i}.1.bias", "id")
+            maps[1][f"input_pre{i}/BatchNorm_0/mean"] = (
+                f"input_proj.{i}.1._mean", "id")
+            maps[1][f"input_pre{i}/BatchNorm_0/var"] = (
+                f"input_proj.{i}.1._variance", "id")
+    elif enc == "segformer_b4":
+        merge(maps, M.mixvit_backbone_map(flat_p, flax="backbone",
+                                          pd="backbone.backbone"))
+        # the SegFormer wrapper's decoder layers are dead weight: its
+        # forward early-returns the feature maps (segformer_paddleSeg.py:80-84)
+        expect_unused = expect_unused + (
+            "backbone.linear_c1.", "backbone.linear_c2.", "backbone.linear_c3.",
+            "backbone.linear_c4.", "backbone.linear_fuse.",
+            "backbone.linear_pred.")
+    elif enc in ("resnet50", ""):
+        r50 = emrt_r50_key_map(n_enc, n_dec)
+        maps = r50
+    else:
+        raise NotImplementedError(
+            f"no .pdparams key map for EMRT backbone {encoder_type!r}")
+    return (*maps, expect_unused)
+
+
+def convert_pdparams(pd: Dict[str, np.ndarray], params, batch_stats,
+                     model_name: str = "EMRT", encoder_type: str = "resnet50"):
+    """Convert a reference state dict into (params, batch_stats).
+
+    Returns new trees plus a report dict {matched, missing, unused,
+    unmatched_flax}.
     """
     import flax.traverse_util as tu
     import jax
@@ -276,11 +382,8 @@ def convert_emrt_r50(pd: Dict[str, np.ndarray], params, batch_stats):
     flat_p = dict(tu.flatten_dict(jax.tree.map(np.asarray, params), sep="/"))
     flat_s = dict(tu.flatten_dict(jax.tree.map(np.asarray, batch_stats or {}),
                                   sep="/"))
-    n_enc = sum(1 for k in flat_p if k.startswith("encoder_decoder/encoder_layer")
-                and k.endswith("norm1/scale"))
-    n_dec = sum(1 for k in flat_p if k.startswith("encoder_decoder/decoder_layer")
-                and k.endswith("norm1/scale"))
-    pmap, smap, fold = emrt_r50_key_map(n_enc, n_dec)
+    pmap, smap, fold, expect_unused = build_key_map(flat_p, model_name,
+                                                    encoder_type)
 
     used, missing = set(), []
     for flat, mapping in ((flat_p, pmap), (flat_s, smap)):
@@ -306,7 +409,7 @@ def convert_emrt_r50(pd: Dict[str, np.ndarray], params, batch_stats):
             used.add(bias_key)
 
     unused = [k for k in pd if k not in used
-              and not k.endswith("tgt_embed.weight")]  # tgt_embed is unused
+              and not any(tag in k for tag in expect_unused)]
     unmatched = [k for k in list(pmap) + list(smap)
                  if k not in flat_p and k not in flat_s]
     report = {"matched": len(used), "missing": sorted(set(missing)),
@@ -319,6 +422,11 @@ def convert_emrt_r50(pd: Dict[str, np.ndarray], params, batch_stats):
     new_params = tu.unflatten_dict(flat_p, sep="/")
     new_stats = tu.unflatten_dict(flat_s, sep="/") if flat_s else batch_stats
     return new_params, new_stats, report
+
+
+def convert_emrt_r50(pd: Dict[str, np.ndarray], params, batch_stats):
+    """Convert a reference EMRT-r50 state dict (back-compat wrapper)."""
+    return convert_pdparams(pd, params, batch_stats, "EMRT", "resnet50")
 
 
 def main(argv=None):
@@ -353,8 +461,9 @@ def main(argv=None):
     variables = init_variables(model, jax.random.key(0),
                                jnp.zeros((1, ch, cw, 3), jnp.float32))
     pd = read_pdparams(args.ckpt)
-    params, stats, report = convert_emrt_r50(
-        pd, variables["params"], variables.get("batch_stats", {}))
+    params, stats, report = convert_pdparams(
+        pd, variables["params"], variables.get("batch_stats", {}),
+        config.MODEL.NAME, config.MODEL.ENCODER.TYPE)
     if report["missing"] or report["unmatched_flax"]:
         logger.warning(f"incomplete conversion: missing={report['missing']} "
                        f"unmatched={report['unmatched_flax']}")

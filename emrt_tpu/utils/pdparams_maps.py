@@ -1,0 +1,313 @@
+"""Per-family Paddle `.pdparams` key maps beyond EMRT-r50.
+
+Each builder returns ``(pmap, smap, fold)`` in the same format as
+``pdparams.emrt_r50_key_map``: flax '/'-path -> (pd key, transform tag).
+Structure counts (block depths, stage widths) are derived from the flax
+tree itself, so the maps track whatever the config built.
+
+Reference attribute layouts being mapped (all under
+``/root/reference/semantic_segmentation/``):
+
+* CSwin backbone: ``src/models/backbones/cswin_transformer.py`` —
+  ``patch_embedding.{patch_embed,norm}``, ``stages.{s}.blocks.{b}.{norm1,
+  qkv,attns.{0,1}.get_v,proj,norm2,mlp.{fc1,fc2}}``, ``stages.{s}.merge.
+  {conv,norm}`` (s<3); EMRT_CSwin adds top-level ``layer_norms.{0..3}``
+  (``paddle_EMRT_cswin_backbone.py:236-251``).
+* ViT backbone: ``src/models/backbones/vit.py`` —
+  ``transformer.embeddings.{patch_embeddings,position_embeddings,
+  cls_token}``, ``transformer.encoder.layers.{i}.{attn_norm,mlp_norm,
+  attn.{qkv,out},mlp.{fc1,fc2}}`` (fused qkv chunk(3) -> q/k/v slices).
+* ViT_MLA: ``src/models/backbones/vit_mla.py:309-460`` — ViT plus
+  ``mla.mla_p{2..5}{_1x1,}.{0 conv,1 syncbn}`` and ``norm_{0..3}``.
+* MixViT (SegFormer): ``src/models/backbones/paddleseg_segformer/
+  mix_transformer.py`` — ``patch_embed{1..4}.{proj,norm}``,
+  ``block{s}.{b}.{norm1,attn.{q,kv,proj,sr,norm},norm2,mlp.{fc1,
+  dwconv.dwconv,fc2}}``, ``norm{1..4}``; EMRT wraps it in the SegFormer
+  model whose head layers are dead weight (``segformer_paddleSeg.py:80-84``).
+* HRNet-W48: ``src/models/backbones/hrnet.py`` — paddleseg ConvBNReLU
+  naming (``._conv`` / ``._batch_norm``), ``la1.bb_layer2_{1..4}``,
+  ``tr{1..3}.transition_tr{n}_layer_{i}``, ``st{n}.stage_st{n}_{m}.
+  {branches_func.bb_st{n}_{m}_branch_layer_{i}_{j}, fuse_func.
+  residual_st{n}_{m}_layer_{i}_{j}[_{k}]}``.
+* SETR: ``src/models/setr.py:28-170`` + ``decoders/vit_up_head.py`` +
+  ``decoders/vit_mla_head.py`` + ``decoders/vit_mla_auxi_head.py``.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+Maps = Tuple[Dict[str, tuple], Dict[str, tuple], Dict[str, str]]
+
+
+def _mk():
+    return {}, {}, {}
+
+
+def _bn(pmap, smap, flax_prefix: str, pd_prefix: str):
+    pmap[f"{flax_prefix}/scale"] = (f"{pd_prefix}.weight", "id")
+    pmap[f"{flax_prefix}/bias"] = (f"{pd_prefix}.bias", "id")
+    smap[f"{flax_prefix}/mean"] = (f"{pd_prefix}._mean", "id")
+    smap[f"{flax_prefix}/var"] = (f"{pd_prefix}._variance", "id")
+
+
+def _ln(pmap, flax_prefix: str, pd_prefix: str):
+    pmap[f"{flax_prefix}/scale"] = (f"{pd_prefix}.weight", "id")
+    pmap[f"{flax_prefix}/bias"] = (f"{pd_prefix}.bias", "id")
+
+
+def _dense(pmap, flax_prefix: str, pd_prefix: str, bias: bool = True):
+    pmap[f"{flax_prefix}/kernel"] = (f"{pd_prefix}.weight", "id")
+    if bias:
+        pmap[f"{flax_prefix}/bias"] = (f"{pd_prefix}.bias", "id")
+
+
+def _convp(pmap, flax_prefix: str, pd_prefix: str, bias: bool = False):
+    pmap[f"{flax_prefix}/kernel"] = (f"{pd_prefix}.weight", "conv")
+    if bias:
+        pmap[f"{flax_prefix}/bias"] = (f"{pd_prefix}.bias", "id")
+
+
+def _conv_bn(pmap, smap, flax_prefix: str, pd_conv: str, pd_bn: str):
+    """Our ConvBNReLU (Conv_0 + BatchNorm_0) <- pd conv + norm pair."""
+    _convp(pmap, f"{flax_prefix}/Conv_0", pd_conv)
+    _bn(pmap, smap, f"{flax_prefix}/BatchNorm_0", pd_bn)
+
+
+def _stage_blocks(flat_p, pat: str):
+    """Sorted (stage, block) pairs present in the flax tree."""
+    found = set()
+    rx = re.compile(pat)
+    for k in flat_p:
+        m = rx.match(k)
+        if m:
+            found.add((int(m.group(1)), int(m.group(2))))
+    return sorted(found)
+
+
+# ---------------------------------------------------------------------------
+# Backbones
+# ---------------------------------------------------------------------------
+
+def cswin_backbone_map(flat_p, flax="backbone", pd="encoder") -> Maps:
+    """CSwinTransformer; our stage{s}_block{b} naming, attn_h <-> attns.0
+    (horizontal stripes), attn_w <-> attns.1, single attn on the last
+    stage (split_heads=False, cswin_transformer.py:317-336)."""
+    pmap, smap, fold = _mk()
+    _convp(pmap, f"{flax}/patch_embed", f"{pd}.patch_embedding.patch_embed",
+           bias=True)
+    _ln(pmap, f"{flax}/patch_norm", f"{pd}.patch_embedding.norm")
+    blocks = _stage_blocks(flat_p, rf"{flax}/stage(\d+)_block(\d+)/norm1/scale")
+    n_stages = max(s for s, _ in blocks) + 1 if blocks else 0
+    for s, b in blocks:
+        fl = f"{flax}/stage{s}_block{b}"
+        pdb = f"{pd}.stages.{s}.blocks.{b}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.norm1")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.norm2")
+        _dense(pmap, f"{fl}/qkv", f"{pdb}.qkv")
+        _dense(pmap, f"{fl}/proj", f"{pdb}.proj")
+        _dense(pmap, f"{fl}/mlp/Dense_0", f"{pdb}.mlp.fc1")
+        _dense(pmap, f"{fl}/mlp/Dense_1", f"{pdb}.mlp.fc2")
+        if f"{fl}/attn/get_v/kernel" in flat_p:   # last stage: one branch
+            _convp(pmap, f"{fl}/attn/get_v", f"{pdb}.attns.0.get_v", bias=True)
+        else:
+            _convp(pmap, f"{fl}/attn_h/get_v", f"{pdb}.attns.0.get_v", bias=True)
+            _convp(pmap, f"{fl}/attn_w/get_v", f"{pdb}.attns.1.get_v", bias=True)
+    for s in range(max(n_stages - 1, 0)):
+        _convp(pmap, f"{flax}/merge{s}", f"{pd}.stages.{s}.merge.conv", bias=True)
+        _ln(pmap, f"{flax}/merge_norm{s}", f"{pd}.stages.{s}.merge.norm")
+    return pmap, smap, fold
+
+
+def vit_backbone_map(flat_p, flax="backbone", pd="encoder.transformer",
+                     block_fmt="block{i}") -> Maps:
+    """VisualTransformer (vit.py): fused qkv -> per-head q/k/v slices."""
+    pmap, smap, fold = _mk()
+    emb = f"{pd}.embeddings"
+    _convp(pmap, f"{flax}/patch_embed", f"{emb}.patch_embeddings", bias=True)
+    pmap[f"{flax}/pos_embed"] = (f"{emb}.position_embeddings", "pos_embed")
+    pmap[f"{flax}/cls_token"] = (f"{emb}.cls_token", "id")
+    i = 0
+    while f"{flax}/{block_fmt.format(i=i)}/norm1/scale" in flat_p:
+        fl = f"{flax}/{block_fmt.format(i=i)}"
+        pdb = f"{pd}.encoder.layers.{i}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.attn_norm")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.mlp_norm")
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+            pmap[f"{fl}/attn/{proj}/kernel"] = (f"{pdb}.attn.qkv.weight",
+                                                f"qkv:{j}")
+            pmap[f"{fl}/attn/{proj}/bias"] = (f"{pdb}.attn.qkv.bias",
+                                              f"qkvb:{j}")
+        pmap[f"{fl}/attn/out_proj/kernel"] = (f"{pdb}.attn.out.weight",
+                                              "out_heads")
+        pmap[f"{fl}/attn/out_proj/bias"] = (f"{pdb}.attn.out.bias", "id")
+        _dense(pmap, f"{fl}/mlp/Dense_0", f"{pdb}.mlp.fc1")
+        _dense(pmap, f"{fl}/mlp/Dense_1", f"{pdb}.mlp.fc2")
+        i += 1
+    return pmap, smap, fold
+
+
+def vit_mla_backbone_map(flat_p, flax="encoder", pd="encoder") -> Maps:
+    """ViT_MLA = ViT core + Conv_MLA aggregation + per-tap norm_{i}."""
+    pmap, smap, fold = vit_backbone_map(
+        flat_p, flax=f"{flax}/transformer", pd=f"{pd}.transformer",
+        block_fmt="block{i}")
+    for i in range(4):
+        _ln(pmap, f"{flax}/norm_{i}", f"{pd}.norm_{i}")
+    for n in (2, 3, 4, 5):
+        for suffix in ("_1x1", ""):
+            _conv_bn(pmap, smap, f"{flax}/mla/mla_p{n}{suffix}",
+                     f"{pd}.mla.mla_p{n}{suffix}.0",
+                     f"{pd}.mla.mla_p{n}{suffix}.1")
+    return pmap, smap, fold
+
+
+def mixvit_backbone_map(flat_p, flax="backbone", pd="backbone") -> Maps:
+    """MixVisionTransformer (paddleseg_segformer/mix_transformer.py);
+    pd block/stage indices are 1-based."""
+    pmap, smap, fold = _mk()
+    blocks = _stage_blocks(flat_p, rf"{flax}/stage(\d+)_block(\d+)/norm1/scale")
+    n_stages = max(s for s, _ in blocks) + 1 if blocks else 0
+    for s in range(n_stages):
+        _convp(pmap, f"{flax}/patch_embed{s}", f"{pd}.patch_embed{s + 1}.proj",
+               bias=True)
+        _ln(pmap, f"{flax}/embed_norm{s}", f"{pd}.patch_embed{s + 1}.norm")
+        _ln(pmap, f"{flax}/norm{s}", f"{pd}.norm{s + 1}")
+    for s, b in blocks:
+        fl = f"{flax}/stage{s}_block{b}"
+        pdb = f"{pd}.block{s + 1}.{b}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.norm1")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.norm2")
+        _dense(pmap, f"{fl}/attn/q", f"{pdb}.attn.q")
+        _dense(pmap, f"{fl}/attn/kv", f"{pdb}.attn.kv")
+        _dense(pmap, f"{fl}/attn/proj", f"{pdb}.attn.proj")
+        if f"{fl}/attn/sr/kernel" in flat_p:
+            _convp(pmap, f"{fl}/attn/sr", f"{pdb}.attn.sr", bias=True)
+            _ln(pmap, f"{fl}/attn/sr_norm", f"{pdb}.attn.norm")
+        _dense(pmap, f"{fl}/ffn/fc1", f"{pdb}.mlp.fc1")
+        _convp(pmap, f"{fl}/ffn/dwconv", f"{pdb}.mlp.dwconv.dwconv", bias=True)
+        _dense(pmap, f"{fl}/ffn/fc2", f"{pdb}.mlp.fc2")
+    return pmap, smap, fold
+
+
+def hrnet_backbone_map(flat_p, flax="backbone", pd="backbone") -> Maps:
+    """HRNet-W{w}: paddleseg ConvBNReLU/ConvBN register ._conv and
+    ._batch_norm; fuse-layer BNs on our side are positional (_BN_{idx} in
+    FuseLayer.__call__ creation order, which equals the reference's
+    (i, j) registration order)."""
+    pmap, smap, fold = _mk()
+
+    def cbr(fl, pd_layer):
+        _conv_bn(pmap, smap, fl, f"{pd_layer}._conv", f"{pd_layer}._batch_norm")
+
+    cbr(f"{flax}/stem1", f"{pd}.conv_layer1_1")
+    cbr(f"{flax}/stem2", f"{pd}.conv_layer1_2")
+
+    # la1: 4 bottlenecks named bb_layer2_{i+1}
+    for i in range(4):
+        fl = f"{flax}/layer1_block{i}"
+        pdb = f"{pd}.la1.bb_layer2_{i + 1}"
+        for j in range(3):
+            _convp(pmap, f"{fl}/Conv_{j}", f"{pdb}.conv{j + 1}._conv")
+            _bn(pmap, smap, f"{fl}/_BN_{j}/BatchNorm_0",
+                f"{pdb}.conv{j + 1}._batch_norm")
+        if f"{fl}/Conv_3/kernel" in flat_p:
+            _convp(pmap, f"{fl}/Conv_3", f"{pdb}.conv_down._conv")
+            _bn(pmap, smap, f"{fl}/_BN_3/BatchNorm_0",
+                f"{pdb}.conv_down._batch_norm")
+
+    # transitions (hrnet.py:235-276: only channel-changing/new branches
+    # get a conv; tr1 -> layers 1,2; tr2 -> layer 3; tr3 -> layer 4)
+    cbr(f"{flax}/trans1_b0", f"{pd}.tr1.transition_tr1_layer_1")
+    cbr(f"{flax}/trans1_b1", f"{pd}.tr1.transition_tr1_layer_2")
+    cbr(f"{flax}/trans2_new", f"{pd}.tr2.transition_tr2_layer_3")
+    cbr(f"{flax}/trans3_new", f"{pd}.tr3.transition_tr3_layer_4")
+
+    # stages 2..4
+    for stage, attr in ((2, "st2"), (3, "st3"), (4, "st4")):
+        n_br = stage  # branches per stage
+        m = 0
+        while f"{flax}/stage{stage}_m{m}/branch0_block0/Conv_0/kernel" in flat_p:
+            fl_m = f"{flax}/stage{stage}_m{m}"
+            pd_m = f"{pd}.{attr}.stage_{attr}_{m + 1}"
+            for br in range(n_br):
+                b = 0
+                while f"{fl_m}/branch{br}_block{b}/Conv_0/kernel" in flat_p:
+                    fl = f"{fl_m}/branch{br}_block{b}"
+                    pdb = (f"{pd_m}.branches_func."
+                           f"bb_{attr}_{m + 1}_branch_layer_{br + 1}_{b + 1}")
+                    for j in (0, 1):
+                        _convp(pmap, f"{fl}/Conv_{j}", f"{pdb}.conv{j + 1}._conv")
+                        _bn(pmap, smap, f"{fl}/_BN_{j}/BatchNorm_0",
+                            f"{pdb}.conv{j + 1}._batch_norm")
+                    b += 1
+            # fuse: iterate exactly like FuseLayer.__call__ / the reference
+            # FuseLayers registration (i outer, j inner, k down-chain)
+            idx = 0
+            for i in range(n_br):
+                for j in range(n_br):
+                    if j > i:
+                        name = (f"{pd_m}.fuse_func."
+                                f"residual_{attr}_{m + 1}_layer_{i + 1}_{j + 1}")
+                        _convp(pmap, f"{fl_m}/fuse/up{i}_{j}", f"{name}._conv")
+                        _bn(pmap, smap, f"{fl_m}/fuse/_BN_{idx}/BatchNorm_0",
+                            f"{name}._batch_norm")
+                        idx += 1
+                    elif j < i:
+                        for k in range(i - j):
+                            name = (f"{pd_m}.fuse_func.residual_{attr}_{m + 1}"
+                                    f"_layer_{i + 1}_{j + 1}_{k + 1}")
+                            _convp(pmap, f"{fl_m}/fuse/down{i}_{j}_{k}",
+                                   f"{name}._conv")
+                            _bn(pmap, smap,
+                                f"{fl_m}/fuse/_BN_{idx}/BatchNorm_0",
+                                f"{name}._batch_norm")
+                            idx += 1
+            m += 1
+    return pmap, smap, fold
+
+
+# ---------------------------------------------------------------------------
+# SETR (zoo)
+# ---------------------------------------------------------------------------
+
+def setr_key_map(flat_p) -> Maps:
+    """SETR MLA / PUP / Naive: encoder + decoder + aux decoders
+    (setr.py:28-170). Decoder family is detected from the flax tree."""
+    is_mla = any(k.startswith("decoder/head2_conv0") for k in flat_p)
+    if is_mla:
+        pmap, smap, fold = vit_mla_backbone_map(flat_p, flax="encoder",
+                                                pd="encoder")
+        for n in (2, 3, 4, 5):
+            for c, seq in ((0, 0), (1, 3)):
+                _conv_bn(pmap, smap, f"decoder/head{n}_conv{c}",
+                         f"decoder.head{n}.{seq}", f"decoder.head{n}.{seq + 1}")
+        _convp(pmap, "decoder/cls", "decoder.cls", bias=True)
+        for n in (2, 3, 4, 5):
+            fl = f"aux_decoder{n}"
+            if f"{fl}/aux/kernel" in flat_p:
+                _convp(pmap, f"{fl}/aux", f"aux_decoder{n}.aux")
+            elif f"{fl}/aux_0/kernel" in flat_p:
+                _convp(pmap, f"{fl}/aux_0", f"aux_decoder{n}.aux_0")
+                _convp(pmap, f"{fl}/aux_1", f"aux_decoder{n}.aux_1")
+    else:
+        # PUP / Naive: plain ViT encoder directly under 'encoder'
+        pmap, smap, fold = vit_backbone_map(flat_p, flax="encoder",
+                                            pd="encoder.transformer")
+
+        def up_head(fl_prefix, pd_prefix):
+            _ln(pmap, f"{fl_prefix}/norm", f"{pd_prefix}.norm")
+            i = 0
+            while f"{fl_prefix}/conv_{i}/kernel" in flat_p:
+                _convp(pmap, f"{fl_prefix}/conv_{i}", f"{pd_prefix}.conv_{i}",
+                       bias=True)
+                if f"{fl_prefix}/syncbn_fc_{i}/scale" in flat_p:
+                    _bn(pmap, smap, f"{fl_prefix}/syncbn_fc_{i}",
+                        f"{pd_prefix}.syncbn_fc_{i}")
+                i += 1
+
+        up_head("decoder", "decoder")
+        for n in (2, 3, 4, 5):
+            if f"aux_decoder{n}/conv_0/kernel" in flat_p:
+                up_head(f"aux_decoder{n}", f"aux_decoder{n}")
+    return pmap, smap, fold

@@ -24,7 +24,7 @@ from emrt_tpu.inference import build_val_transforms
 from emrt_tpu.models import get_model
 from emrt_tpu.train.step import make_predict_step
 from emrt_tpu.utils import logger
-from emrt_tpu.utils.checkpoint import load_model_weights
+from emrt_tpu.utils.checkpoint import load_weights_auto
 from emrt_tpu.utils.vis import colorize, get_palette, overlay
 
 
@@ -52,7 +52,9 @@ def main():
     variables = init_variables(model, jax.random.key(0), sample)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     if args.model_path:
-        params, batch_stats = load_model_weights(args.model_path, params, batch_stats)
+        params, batch_stats = load_weights_auto(
+            args.model_path, params, batch_stats,
+            config.MODEL.NAME, config.MODEL.ENCODER.TYPE)
 
     predict_step = make_predict_step(model)
     palette = get_palette(config.DATA.DATASET)

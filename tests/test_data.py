@@ -124,3 +124,60 @@ def test_dataloader_resume_skips_batches():
     assert len(resumed) == 3
     for a, b in zip(full[3:], resumed):
         np.testing.assert_array_equal(a, b)
+
+
+def test_iteration_sampler_multihost_shards_disjoint_and_complete():
+    """num_shards=4: per-epoch shard slices are pairwise disjoint (modulo
+    the pad duplicates) and their union covers every sample — the
+    DistributedBatchSampler contract (reference dataloader.py:38-41)."""
+    from emrt_tpu.data.loader import IterationSampler
+
+    n, bs, shards = 37, 4, 4   # deliberately not divisible
+    samplers = [IterationSampler(n, bs, seed=5, shard_index=i,
+                                 num_shards=shards) for i in range(shards)]
+    for epoch in (0, 1, 7):
+        parts = [s.epoch_indices(epoch) for s in samplers]
+        # equal length per shard -> every host steps the same number of times
+        assert len({len(p) for p in parts}) == 1
+        per = shards * bs
+        padded_total = ((n + per - 1) // per) * per
+        assert sum(len(p) for p in parts) == padded_total
+        union = np.concatenate(parts)
+        # union covers the dataset; only the pad region repeats
+        assert set(union.tolist()) == set(range(n))
+        counts = np.bincount(union, minlength=n)
+        assert counts.max() <= 2 and (counts >= 1).all()
+        n_dups = int((counts - 1).sum())
+        assert n_dups == padded_total - n
+    # different epochs shuffle differently
+    assert not np.array_equal(samplers[0].epoch_indices(0),
+                              samplers[0].epoch_indices(1))
+
+
+def test_iteration_sampler_batches_within_shard():
+    from emrt_tpu.data.loader import IterationSampler
+
+    s = IterationSampler(16, 4, seed=1, shard_index=1, num_shards=2)
+    it = iter(s)
+    own = s.epoch_indices(0)
+    got = [next(it) for _ in range(len(own) // 4)]
+    assert np.array_equal(np.concatenate(got), own)
+
+
+def test_val_batches_tail():
+    """val_batches yields the ragged tail batch (multi_batch_collate
+    semantics: no sample dropped, no padding at this layer)."""
+    from emrt_tpu.data.loader import val_batches
+
+    class DS:
+        def __len__(self):
+            return 7
+
+        def get(self, i):
+            return (np.zeros((4, 4, 3), np.float32) + i,
+                    np.zeros((4, 4), np.int32))
+
+    batches = list(val_batches(DS(), 3))
+    assert [len(b) for b in batches] == [3, 3, 1]
+    seen = [int(b[0][0, 0, 0]) for batch in batches for b in batch]
+    assert seen == list(range(7))

@@ -84,6 +84,17 @@ def main():
     from emrt_tpu.train.state import init_variables
     variables = init_variables(model, init_rng, sample["image"])
     params = variables["params"]
+    batch_stats0 = variables.get("batch_stats", {})
+    if config.MODEL.PRETRAINED:
+        # reference loads pretrained weights at model build
+        # (src/models/__init__.py:29, checkpoint.py:38-93); orbax dirs do a
+        # shape-checked partial load, .pdparams convert through the key map
+        from emrt_tpu.utils.checkpoint import load_weights_auto
+        params, batch_stats0 = load_weights_auto(
+            config.MODEL.PRETRAINED, params, batch_stats0,
+            config.MODEL.NAME, config.MODEL.ENCODER.TYPE, partial=True)
+        logger.info(f"initialized from MODEL.PRETRAINED: "
+                    f"{config.MODEL.PRETRAINED}")
     if mesh.shape["model"] > 1:
         # PARALLEL.MODEL > 1: Megatron-style tensor parallelism — the
         # transformer projections shard over the 'model' axis and GSPMD
@@ -97,7 +108,7 @@ def main():
     from emrt_tpu.train.state import TrainState
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=params,
-                       batch_stats=variables.get("batch_stats", {}),
+                       batch_stats=batch_stats0,
                        opt_state=tx.init(params), tx=tx)
     logger.info(f"model params: {num_params(state.params) / 1e6:.2f}M")
 

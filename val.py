@@ -17,7 +17,7 @@ from emrt_tpu.inference import build_val_transforms, evaluate
 from emrt_tpu.models import get_model
 from emrt_tpu.train import make_forward, num_params
 from emrt_tpu.utils import logger
-from emrt_tpu.utils.checkpoint import load_model_weights
+from emrt_tpu.utils.checkpoint import load_weights_auto
 
 
 def parse_args():
@@ -43,7 +43,11 @@ def main():
     variables = init_variables(model, jax.random.key(0), sample)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     if args.model_path:
-        params, batch_stats = load_model_weights(args.model_path, params, batch_stats)
+        # orbax dir or a reference .pdparams (auto-converted) — the
+        # parity-eval path for the released EMRT checkpoints
+        params, batch_stats = load_weights_auto(
+            args.model_path, params, batch_stats,
+            config.MODEL.NAME, config.MODEL.ENCODER.TYPE)
         logger.info(f"loaded weights from {args.model_path}")
     logger.info(f"model params: {num_params(params) / 1e6:.2f}M")
 
