@@ -130,6 +130,20 @@ def main():
     dt = _ondevice_time(tstep, state)
     train_ips = train_bs / dt
 
+    # ---- 512^2 EMRT forward (lv=5376): must ride the level-partitioned
+    # Pallas path, not the jnp fallback (round-2 verdict item 3) ----
+    big_bs = 8
+    x512 = jnp.asarray(np.random.default_rng(3).uniform(
+        -2, 2, (big_bs, 512, 512, 3)).astype(np.float32))
+    v512 = init_variables(model, rng, x512[:1])
+
+    def fwd512_step(xc):
+        out = model.apply(v512, xc, train=False)[0]
+        return xc * 0.999 + out.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
+
+    dt = _ondevice_time(fwd512_step, x512, iters=4)
+    infer512_ips = big_bs / dt
+
     value = round(slide_ips, 1)
     print(json.dumps({
         "metric": "EMRT-r50 sliding-window inference tiles/sec/chip "
@@ -139,6 +153,7 @@ def main():
         "vs_baseline": round(value / BASELINE_TILES_PER_SEC_PER_CHIP, 3),
         "whole_tile_forward_tiles_per_sec_per_chip": round(infer_ips, 1),
         "train_tiles_per_sec_per_chip": round(train_ips, 1),
+        "emrt512_forward_images_per_sec_per_chip": round(infer512_ips, 1),
         "infer_batch": infer_bs,
         "slide_batch": slide_bs,
         "train_batch": train_bs,

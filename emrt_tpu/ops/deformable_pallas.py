@@ -148,108 +148,167 @@ def _pick_tq(lq, lv, fixed_bytes=0):
     return min(budget, 512)
 
 
-def _fused_bwd_kernel(loc_ref, attn_ref, vt_ref, g_ref, gv_ref, gloc_ref,
-                      gattn_ref, gm_scr, m_scr, *, shapes, tq, n_points):
-    """Fused backward: gV, g_attn, g_loc across ALL levels in one call.
+def _bwd_gv_kernel(loc_ref, attn_ref, g_ref, gv_ref, m_scr,
+                   *, shapes, tq, n_points, n_heads, c):
+    """gV = M^T @ g, heads in LANES (forward layout, zero transposes).
 
-    Per point, the separable hat weights are reused for the sampling-matrix
-    accumulation (-> gV = M^T @ g on the MXU) and for the three analytic
-    reductions against gM = g @ V^T:
-        g_attn = sum_k (wx*wy) * gM
-        g_locx = attn * W * sum_k (dwx*wy) * gM      (dwx = sign on support)
-        g_locy = attn * H * sum_k (wx*dwy) * gM
-    bf16 path: the y-side hats live at [tq, H]; expansions (awy @ E) and
-    row-reductions (u @ E^T, K = hw, full MXU utilization) ride the MXU,
-    leaving only x-side hats and two gM products at full width on the VPU.
-    f32 path: exact full-width VPU math for strict golden parity.
-
-    loc_ref [1, 1, tq, L*P*2]; attn_ref [1, 1, tq, L*P];
-    vt_ref [1, 1, c, lv]; g_ref [1, 1, tq, c];
-    gv_ref [1, 1, lv, c] (accumulated over the query-tile grid dim);
-    gloc_ref [1, 1, tq, L*P*2]; gattn_ref [1, 1, tq, L*P];
-    gm_scr / m_scr [tq, lv] f32 scratch."""
-    bf16 = vt_ref.dtype == jnp.bfloat16
-    j = pl.program_id(2)
+    Rebuilds the sampling matrix exactly like the forward (tables shared
+    by all heads — 8x fewer table constructions than the retired
+    head-per-cell layout) and accumulates gv across the query-tile grid
+    dim:
+      loc_ref  [1, tq, nh*L*P*2]; attn_ref [1, tq, nh*L*P];
+      g_ref    [1, tq, nh*c];     gv_ref [1, lv, nh*c] f32 (accumulated);
+      m_scr    [tq, lv] f32, rebuilt per head.
+    Holding only ONE [tq, lv] scratch (no value slab, no gm) is what lets
+    tq reach 448 at the encoder shape — the round-2 single-kernel
+    heads-in-lanes attempt needed both scratches plus V^T and was VMEM
+    bound at tq=112."""
+    bf16 = g_ref.dtype == jnp.bfloat16
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        gv_ref[0, 0] = jnp.zeros_like(gv_ref[0, 0])
+        gv_ref[0] = jnp.zeros_like(gv_ref[0])
 
-    g = g_ref[0, 0]
-    gm_scr[:] = jnp.dot(g, vt_ref[0, 0],
-                        preferred_element_type=jnp.float32)
-    off = 0
+    n_levels = len(shapes)
+    tables = []
     for l, (h, w) in enumerate(shapes):
         hw = h * w
         col_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) % w
                  ).astype(jnp.float32)
-        gm = gm_scr[:, off:off + hw]
         if bf16:
             rowh = jax.lax.broadcasted_iota(jnp.int32, (tq, h), 1
                                             ).astype(jnp.float32)
             kk = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 1)
             hh = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 0)
             expand = (kk // w == hh).astype(jnp.bfloat16)
-            kk_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 0)
-            hh_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 1)
-            reduce_t = (kk_t // w == hh_t).astype(jnp.bfloat16)
+            tables.append((col_t, rowh, expand))
         else:
             row_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) // w
                      ).astype(jnp.float32)
-        for p in range(n_points):
-            jj = l * n_points + p
-            x_pix = loc_ref[0, 0, :, 2 * jj:2 * jj + 1] * w - 0.5   # [tq, 1]
-            y_pix = loc_ref[0, 0, :, 2 * jj + 1:2 * jj + 2] * h - 0.5
-            a = attn_ref[0, 0, :, jj:jj + 1].astype(jnp.float32)
-            dxs = col_t - x_pix
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
-            dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
-            if bf16:
-                dys_s = rowh - y_pix                                 # [tq, h]
-                wy_s = jnp.maximum(0.0, 1.0 - jnp.abs(dys_s))
-                dwy_s = jnp.where(wy_s > 0.0, jnp.sign(dys_s), 0.0)
-                u = (gm * wx).astype(jnp.bfloat16)
-                t = (gm * dwx).astype(jnp.bfloat16)
-                u_r = jnp.dot(u, reduce_t,
-                              preferred_element_type=jnp.float32)   # [tq, h]
-                t_r = jnp.dot(t, reduce_t,
-                              preferred_element_type=jnp.float32)
-                ga = jnp.sum(u_r * wy_s, axis=1)
-                gx = jnp.sum(t_r * wy_s, axis=1)
-                gy = jnp.sum(u_r * dwy_s, axis=1)
-                awy = jnp.dot((a * wy_s).astype(jnp.bfloat16), expand,
-                              preferred_element_type=jnp.float32)
-                plane = wx * awy
-            else:
-                dys = row_t - y_pix
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dys))
-                dwy = jnp.where(wy > 0.0, jnp.sign(dys), 0.0)
-                gmwy = gm * wy
-                wxwy = wx * wy
-                ga = jnp.sum(gm * wxwy, axis=1)
-                gx = jnp.sum(gmwy * dwx, axis=1)
-                gy = jnp.sum((gm * wx) * dwy, axis=1)
-                plane = a * wxwy
-            if p == 0:
-                m_scr[:, off:off + hw] = plane
-            else:
-                m_scr[:, off:off + hw] += plane
-            gattn_ref[0, 0, :, jj:jj + 1] = ga[:, None].astype(
-                gattn_ref.dtype)
-            gloc_ref[0, 0, :, 2 * jj:2 * jj + 1] = (
-                a * (w * gx[:, None])).astype(gloc_ref.dtype)
-            gloc_ref[0, 0, :, 2 * jj + 1:2 * jj + 2] = (
-                a * (h * gy[:, None])).astype(gloc_ref.dtype)
-        off += hw
-    if bf16:
-        gv_ref[0, 0] += jax.lax.dot_general(
-            m_scr[:].astype(jnp.bfloat16), g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(gv_ref.dtype)
-    else:
-        gv_ref[0, 0] += jax.lax.dot_general(
-            m_scr[:], g.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).astype(gv_ref.dtype)
+            tables.append((col_t, row_t, None))
+
+    for hd in range(n_heads):
+        off = 0
+        for l, (h, w) in enumerate(shapes):
+            hw = h * w
+            col_t, row_tab, expand = tables[l]
+            for p in range(n_points):
+                jj = (hd * n_levels + l) * n_points + p
+                x_pix = loc_ref[0, :, 2 * jj:2 * jj + 1] * w - 0.5
+                y_pix = loc_ref[0, :, 2 * jj + 1:2 * jj + 2] * h - 0.5
+                a = attn_ref[0, :, jj:jj + 1].astype(jnp.float32)
+                if bf16:
+                    awy_s = jnp.maximum(a - a * jnp.abs(row_tab - y_pix), 0.0)
+                    awy = jnp.dot(awy_s.astype(jnp.bfloat16), expand,
+                                  preferred_element_type=jnp.float32)
+                else:
+                    awy = jnp.maximum(a - a * jnp.abs(row_tab - y_pix), 0.0)
+                plane = _hat(col_t - x_pix) * awy
+                if p == 0:
+                    m_scr[:, off:off + hw] = plane
+                else:
+                    m_scr[:, off:off + hw] += plane
+            off += hw
+        g = g_ref[0, :, hd * c:(hd + 1) * c]
+        if bf16:
+            gv_ref[0, :, hd * c:(hd + 1) * c] += jax.lax.dot_general(
+                m_scr[:].astype(jnp.bfloat16), g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            gv_ref[0, :, hd * c:(hd + 1) * c] += jax.lax.dot_general(
+                m_scr[:], g.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+
+def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
+                    gm_scr, *, shapes, tq, n_points, n_heads, c):
+    """g_loc / g_attn, heads in LANES. Per head gM = g_h @ V_h^T (MXU,
+    transposed-operand dot_general — value arrives in its natural
+    [lv, nh*c] layout), then the three analytic reductions per point:
+        g_attn = sum_k (wx*wy) * gM
+        g_locx = attn * W * sum_k (dwx*wy) * gM
+        g_locy = attn * H * sum_k (wx*dwy) * gM
+    bf16 path: y-side hats at [tq, H]; row-reductions u @ E^T ride the
+    MXU; only x-side hats and two gM products run full width on the VPU.
+
+      loc_ref [1, tq, nh*L*P*2]; attn_ref [1, tq, nh*L*P];
+      v_ref [1, lv, nh*c]; g_ref [1, tq, nh*c];
+      gloc_ref [1, tq, nh*L*P*2]; gattn_ref [1, tq, nh*L*P];
+      gm_scr [tq, lv] f32."""
+    bf16 = v_ref.dtype == jnp.bfloat16
+    n_levels = len(shapes)
+    tables = []
+    for l, (h, w) in enumerate(shapes):
+        hw = h * w
+        col_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) % w
+                 ).astype(jnp.float32)
+        if bf16:
+            rowh = jax.lax.broadcasted_iota(jnp.int32, (tq, h), 1
+                                            ).astype(jnp.float32)
+            kk_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 0)
+            hh_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 1)
+            reduce_t = (kk_t // w == hh_t).astype(jnp.bfloat16)
+            tables.append((col_t, rowh, reduce_t))
+        else:
+            row_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) // w
+                     ).astype(jnp.float32)
+            tables.append((col_t, row_t, None))
+
+    for hd in range(n_heads):
+        g = g_ref[0, :, hd * c:(hd + 1) * c]
+        v = v_ref[0, :, hd * c:(hd + 1) * c]
+        if bf16:
+            gm_scr[:] = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            gm_scr[:] = jax.lax.dot_general(
+                g.astype(jnp.float32), v.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+        off = 0
+        for l, (h, w) in enumerate(shapes):
+            hw = h * w
+            col_t, row_tab, reduce_t = tables[l]
+            gm = gm_scr[:, off:off + hw]
+            for p in range(n_points):
+                jj = (hd * n_levels + l) * n_points + p
+                x_pix = loc_ref[0, :, 2 * jj:2 * jj + 1] * w - 0.5
+                y_pix = loc_ref[0, :, 2 * jj + 1:2 * jj + 2] * h - 0.5
+                a = attn_ref[0, :, jj:jj + 1].astype(jnp.float32)
+                dxs = col_t - x_pix
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
+                dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
+                if bf16:
+                    dys_s = row_tab - y_pix                          # [tq, h]
+                    wy_s = jnp.maximum(0.0, 1.0 - jnp.abs(dys_s))
+                    dwy_s = jnp.where(wy_s > 0.0, jnp.sign(dys_s), 0.0)
+                    u = (gm * wx).astype(jnp.bfloat16)
+                    t = (gm * dwx).astype(jnp.bfloat16)
+                    u_r = jnp.dot(u, reduce_t,
+                                  preferred_element_type=jnp.float32)
+                    t_r = jnp.dot(t, reduce_t,
+                                  preferred_element_type=jnp.float32)
+                    ga = jnp.sum(u_r * wy_s, axis=1)
+                    gx = jnp.sum(t_r * wy_s, axis=1)
+                    gy = jnp.sum(u_r * dwy_s, axis=1)
+                else:
+                    dys = row_tab - y_pix
+                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(dys))
+                    dwy = jnp.where(wy > 0.0, jnp.sign(dys), 0.0)
+                    ga = jnp.sum((gm * wx) * wy, axis=1)
+                    gx = jnp.sum((gm * wy) * dwx, axis=1)
+                    gy = jnp.sum((gm * wx) * dwy, axis=1)
+                gattn_ref[0, :, jj:jj + 1] = ga[:, None].astype(
+                    gattn_ref.dtype)
+                gloc_ref[0, :, 2 * jj:2 * jj + 1] = (
+                    a * (w * gx[:, None])).astype(gloc_ref.dtype)
+                gloc_ref[0, :, 2 * jj + 1:2 * jj + 2] = (
+                    a * (h * gy[:, None])).astype(gloc_ref.dtype)
+            off += hw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
@@ -264,23 +323,63 @@ def deformable_attention_pallas(value, spatial_shapes, sampling_locations,
     return out
 
 
+_warned_fallback: set = set()
+
+
+def _warn_fallback(what: str, shapes, lq):
+    key = (what, tuple(shapes), lq)
+    if key not in _warned_fallback:
+        _warned_fallback.add(key)
+        from ..utils.logger import logger
+        logger.warning(
+            f"deformable {what} at shapes={tuple(shapes)} lq={lq} exceeds "
+            f"the Pallas VMEM budget even level-partitioned — using the "
+            f"(~8x slower) jnp gather path")
+
+
+def _fwd_tq(lq, lv, nh, c, itemsize):
+    # fixed VMEM: double-buffered value slab + out block
+    return _pick_tq(lq, lv, fixed_bytes=int(2.5 * lv * nh * c * itemsize))
+
+
 def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
-    """Fused forward: one pallas_call over (batch, query tiles); heads
-    stay in lanes, so every input is a FREE reshape of the projection
-    outputs (no transposes)."""
+    """Fused forward; heads stay in lanes, so every input is a FREE
+    reshape of the projection outputs (no transposes).
+
+    Big rasters (512^2 EMRT: lv=5376) that would force tiny query tiles
+    in the all-levels call are partitioned BY LEVEL: out = sum_l M_l @
+    V_l, each level its own pallas_call holding only its own [tq, hw_l]
+    scratch and value slab — the levels are independent in the sampling
+    matrix, so this is exact (round-2 verdict item 3)."""
+    residuals = (value, loc_all, attn_all)
+    return _fwd_dispatch(value, tuple(spatial_shapes), loc_all, attn_all,
+                         interpret), residuals
+
+
+def _fwd_dispatch(value, spatial_shapes, loc_all, attn_all, interpret):
     bs, lv, nh, c = value.shape
     lq = loc_all.shape[1]
     n_levels, n_points = loc_all.shape[3], loc_all.shape[4]
     assert lv == sum(h * w for h, w in spatial_shapes)
-    residuals = (value, loc_all, attn_all)
 
-    # fixed VMEM: double-buffered value slab + out block
-    tq = _pick_tq(lq, lv, fixed_bytes=int(2.5 * lv * nh * c
-                                          * value.dtype.itemsize))
+    tq = _fwd_tq(lq, lv, nh, c, value.dtype.itemsize)
+    if tq < 128 and n_levels > 1:
+        per = min(_fwd_tq(lq, h * w, nh, c, value.dtype.itemsize)
+                  for h, w in spatial_shapes)
+        if per > tq:
+            out, off = None, 0
+            for l, (h, w) in enumerate(spatial_shapes):
+                o = _fwd_dispatch(value[:, off:off + h * w], ((h, w),),
+                                  loc_all[:, :, :, l:l + 1],
+                                  attn_all[:, :, :, l:l + 1], interpret)
+                out = o if out is None else out + o
+                off += h * w
+            return out
     if tq == 0:
+        _warn_fallback("forward", spatial_shapes, lq)
         from .deformable import deformable_attention_core
-        return (deformable_attention_core(value, spatial_shapes, loc_all,
-                                          attn_all), residuals)
+        return deformable_attention_core(value, spatial_shapes, loc_all,
+                                         attn_all)
     lq_pad = _round_up(lq, tq)
     pad = lq_pad - lq
     loc2 = loc_all.reshape(bs, lq, nh * n_levels * n_points * 2
@@ -313,81 +412,127 @@ def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(loc2, attn2, v2)
-    return out[:, :lq], residuals
+    return out[:, :lq]
 
 
 def _bwd(spatial_shapes, interpret, residuals, g):
-    """Fused backward host wrapper: same head-major single-call layout as
-    the forward; gV accumulates across the (innermost) query-tile grid
-    dim."""
+    """Backward host wrapper: TWO heads-in-lanes kernels over the
+    forward's (batch, query-tile) grid — a gV pass (M^T @ g, no value
+    slab in VMEM) and a g_loc/g_attn pass (gM reductions, no M scratch).
+    Splitting halves each kernel's [tq, lv] footprint, so both run at the
+    forward's large tq, share hat tables across all 8 heads, and need
+    ZERO host-side transposes (every operand is a free view of the
+    projection outputs — the retired single-kernel layout swapaxed five
+    [bs, lq, ...] tensors per call)."""
     value, loc_all, attn_all = residuals
+    return _bwd_dispatch(value, tuple(spatial_shapes), loc_all, attn_all,
+                         g, interpret)
+
+
+def _bwd_tqs(lq, lv, nh, c, itemsize):
+    return (_pick_tq(lq, lv, fixed_bytes=lv * nh * c * 4),
+            _pick_tq(lq, lv, fixed_bytes=lv * nh * c * itemsize))
+
+
+def _bwd_dispatch(value, spatial_shapes, loc_all, attn_all, g, interpret):
     bs, lv, nh, c = value.shape
     lq = loc_all.shape[1]
     n_levels, n_points = loc_all.shape[3], loc_all.shape[4]
 
-    # the backward holds ~1.5x the forward's f32 [tq, lv] buffers
-    tq = _pick_tq(lq, int(1.5 * lv),
-                  fixed_bytes=int(2.5 * lv * nh * c * value.dtype.itemsize))
-    if tq == 0:
+    tq_gv, tq_gla = _bwd_tqs(lq, lv, nh, c, value.dtype.itemsize)
+    if min(tq_gv, tq_gla) < 128 and n_levels > 1:
+        # level partition (see _fwd): gv rows, g_loc/g_attn level slices
+        # are disjoint across levels, so per-level calls are exact
+        per = min(min(_bwd_tqs(lq, h * w, nh, c, value.dtype.itemsize))
+                  for h, w in spatial_shapes)
+        if per > min(tq_gv, tq_gla):
+            parts, off = [], 0
+            for l, (h, w) in enumerate(spatial_shapes):
+                parts.append(_bwd_dispatch(
+                    value[:, off:off + h * w], ((h, w),),
+                    loc_all[:, :, :, l:l + 1], attn_all[:, :, :, l:l + 1],
+                    g, interpret))
+                off += h * w
+            return (jnp.concatenate([p[0] for p in parts], axis=1),
+                    jnp.concatenate([p[1] for p in parts], axis=3),
+                    jnp.concatenate([p[2] for p in parts], axis=3))
+    if tq_gv == 0 or tq_gla == 0:
+        _warn_fallback("backward", spatial_shapes, lq)
         from .deformable import deformable_attention_core
         _, vjp = jax.vjp(
             lambda v, l, a: deformable_attention_core(
                 v, spatial_shapes, l, a), value, loc_all, attn_all)
         return vjp(g)
-    lq_pad = _round_up(lq, tq)
-    pad = lq_pad - lq
-    loc2 = jnp.swapaxes(
-        loc_all.reshape(bs, lq, nh, n_levels * n_points * 2), 1, 2
-    ).astype(jnp.float32)
-    attn2 = jnp.swapaxes(
-        attn_all.reshape(bs, lq, nh, n_levels * n_points), 1, 2
-    ).astype(value.dtype)
-    g2 = jnp.swapaxes(g.reshape(bs, lq, nh, c), 1, 2)
-    if pad:
-        loc2 = jnp.pad(loc2, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        attn2 = jnp.pad(attn2, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        g2 = jnp.pad(g2, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    vt2 = jnp.swapaxes(jnp.swapaxes(value, 1, 2), 2, 3)  # [bs, nh, c, lv]
 
+    loc2 = loc_all.reshape(bs, lq, nh * n_levels * n_points * 2
+                           ).astype(jnp.float32)
+    attn2 = attn_all.reshape(bs, lq, nh * n_levels * n_points
+                             ).astype(value.dtype)
+    v2 = value.reshape(bs, lv, nh * c)
+    g2 = g.reshape(bs, lq, nh * c)
     lp2, lp = loc2.shape[-1], attn2.shape[-1]
-    gv, gloc2, gattn2 = pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, shapes=tuple(spatial_shapes),
-                          tq=tq, n_points=n_points),
-        grid=(bs, nh, lq_pad // tq),
+
+    def padded(x, tq):
+        pad = _round_up(lq, tq) - lq
+        return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+    lq_gv = _round_up(lq, tq_gv)
+    gv = pl.pallas_call(
+        functools.partial(_bwd_gv_kernel, shapes=tuple(spatial_shapes),
+                          tq=tq_gv, n_points=n_points, n_heads=nh, c=c),
+        grid=(bs, lq_gv // tq_gv),
         in_specs=[
-            pl.BlockSpec((1, 1, tq, lp2), lambda i, h, j: (i, h, j, 0),
+            pl.BlockSpec((1, tq_gv, lp2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, lp), lambda i, h, j: (i, h, j, 0),
+            pl.BlockSpec((1, tq_gv, lp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, lv), lambda i, h, j: (i, h, 0, 0),
+            pl.BlockSpec((1, tq_gv, nh * c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, c), lambda i, h, j: (i, h, j, 0),
+        ],
+        out_specs=pl.BlockSpec((1, lv, nh * c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, lv, nh * c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tq_gv, lv), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(padded(loc2, tq_gv), padded(attn2, tq_gv), padded(g2, tq_gv))
+
+    lq_gla = _round_up(lq, tq_gla)
+    gloc2, gattn2 = pl.pallas_call(
+        functools.partial(_bwd_gla_kernel, shapes=tuple(spatial_shapes),
+                          tq=tq_gla, n_points=n_points, n_heads=nh, c=c),
+        grid=(bs, lq_gla // tq_gla),
+        in_specs=[
+            pl.BlockSpec((1, tq_gla, lp2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq_gla, lp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lv, nh * c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq_gla, nh * c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, lv, c), lambda i, h, j: (i, h, 0, 0),
+            pl.BlockSpec((1, tq_gla, lp2), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, lp2), lambda i, h, j: (i, h, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, lp), lambda i, h, j: (i, h, j, 0),
+            pl.BlockSpec((1, tq_gla, lp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nh, lv, c), jnp.float32),
-            jax.ShapeDtypeStruct((bs, nh, lq_pad, lp2), jnp.float32),
-            jax.ShapeDtypeStruct((bs, nh, lq_pad, lp), jnp.float32),
+            jax.ShapeDtypeStruct((bs, lq_gla, lp2), jnp.float32),
+            jax.ShapeDtypeStruct((bs, lq_gla, lp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((tq, lv), jnp.float32),
-                        pltpu.VMEM((tq, lv), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tq_gla, lv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(loc2, attn2, vt2, g2)
+    )(padded(loc2, tq_gla), padded(attn2, tq_gla), v2, padded(g2, tq_gla))
 
-    gvalue = jnp.swapaxes(gv, 1, 2).astype(value.dtype)
-    gloc = jnp.swapaxes(gloc2[:, :, :lq], 1, 2).reshape(
+    gvalue = gv.reshape(bs, lv, nh, c).astype(value.dtype)
+    gloc = gloc2[:, :lq].reshape(
         bs, lq, nh, n_levels, n_points, 2).astype(loc_all.dtype)
-    gattn = jnp.swapaxes(gattn2[:, :, :lq], 1, 2).reshape(
+    gattn = gattn2[:, :lq].reshape(
         bs, lq, nh, n_levels, n_points).astype(attn_all.dtype)
     return gvalue, gloc, gattn
 

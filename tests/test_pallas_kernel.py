@@ -86,3 +86,40 @@ def test_pallas_oob_zeros(problem):
     loc_oob = jnp.full_like(loc, 7.0)
     out = deformable_attention_pallas(value, shapes, loc_oob, attn, True)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_level_partitioned_path_exact(problem, monkeypatch):
+    """Force the by-level dispatch (the 512^2 route: joint tile too small,
+    per-level tiles fine) and require bit-level agreement in both the
+    forward and all three grads."""
+    from emrt_tpu.ops import deformable_pallas as dp
+
+    shapes, value, loc, attn = problem
+    real_fwd_tq, real_bwd_tqs = dp._fwd_tq, dp._bwd_tqs
+    lv_joint = sum(h * w for h, w in shapes)
+
+    def fake_fwd_tq(lq, lv, nh, c, itemsize):
+        return 8 if lv == lv_joint else real_fwd_tq(lq, lv, nh, c, itemsize)
+
+    def fake_bwd_tqs(lq, lv, nh, c, itemsize):
+        return (8, 8) if lv == lv_joint else real_bwd_tqs(lq, lv, nh, c,
+                                                          itemsize)
+
+    def loss(v, l, a):
+        return jnp.sum(deformable_attention_pallas(v, shapes, l, a, True) ** 2)
+
+    out_joint = deformable_attention_pallas(value, shapes, loc, attn, True)
+    g_joint = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+
+    monkeypatch.setattr(dp, "_fwd_tq", fake_fwd_tq)
+    monkeypatch.setattr(dp, "_bwd_tqs", fake_bwd_tqs)
+    out_part = deformable_attention_pallas(value, shapes, loc, attn, True)
+    g_part = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+
+    np.testing.assert_allclose(np.asarray(out_part), np.asarray(out_joint),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(g_joint, g_part):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale,
+                                   rtol=1e-5, atol=1e-6)
