@@ -126,19 +126,19 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
         out_ref[0, :, hd * c:(hd + 1) * c] = out.astype(out_ref.dtype)
 
 
-def _pick_tq(lq, lv, fixed_bytes=0):
+def _pick_tq(lq, lv, fixed_bytes=0, buffers=7):
     """Query tile: big tiles amortize per-cell overhead, but the kernel's
     VMEM footprint (M scratch + hoisted row tables + per-point
-    intermediates) is ~7 f32 buffers of [tq, lv] on top of the fixed
-    blocks (value slab etc.) — stay under the 16MB scoped limit with
-    headroom (empirically tq=448 @ lv=1344 ran 192KB over, and the
-    512-input EMRT shapes at lv=5376 need the fixed term). Returns 0 if
-    even the smallest tile cannot fit (caller falls back to the jnp
-    path)."""
+    intermediates) is ~`buffers` f32 arrays of [tq, lv] on top of the
+    fixed blocks (value slab etc.) — stay under the 16MB scoped limit
+    with headroom (empirically: fwd tq=448 @ lv=1344 ran 192KB over with
+    7 buffers; the g_loc/g_attn kernel at tq=336 ran 176KB over with its
+    extra gm products, hence its 9-buffer estimate). Returns 0 if even
+    the smallest tile cannot fit (caller falls back to the jnp path)."""
     avail = 14.5e6 - fixed_bytes
-    if avail < 32 * 7 * 4 * lv:
+    if avail < 32 * buffers * 4 * lv:
         return 0
-    budget = max(32, int(avail / (7 * 4 * lv)) // 8 * 8)
+    budget = max(32, int(avail / (buffers * 4 * lv)) // 8 * 8)
     if lq <= budget:
         return _round_up(lq, 8)
     for tq in (512, 448, 384, 336, 256, 224, 192, 168, 160, 128, 112,
@@ -364,9 +364,12 @@ def _fwd_dispatch(value, spatial_shapes, loc_all, attn_all, interpret):
 
     tq = _fwd_tq(lq, lv, nh, c, value.dtype.itemsize)
     if tq < 128 and n_levels > 1:
-        per = min(_fwd_tq(lq, h * w, nh, c, value.dtype.itemsize)
-                  for h, w in spatial_shapes)
-        if per > tq:
+        per_l = [_fwd_tq(lq, h * w, nh, c, value.dtype.itemsize)
+                 for h, w in spatial_shapes]
+        # partition when every level gets a bigger tile, or when the joint
+        # call can't run at all but at least one level can (the oversize
+        # level alone falls back to jnp instead of dragging all levels)
+        if min(per_l) > tq or (tq == 0 and max(per_l) > 0):
             out, off = None, 0
             for l, (h, w) in enumerate(spatial_shapes):
                 o = _fwd_dispatch(value[:, off:off + h * w], ((h, w),),
@@ -431,7 +434,8 @@ def _bwd(spatial_shapes, interpret, residuals, g):
 
 def _bwd_tqs(lq, lv, nh, c, itemsize):
     return (_pick_tq(lq, lv, fixed_bytes=lv * nh * c * 4),
-            _pick_tq(lq, lv, fixed_bytes=lv * nh * c * itemsize))
+            _pick_tq(lq, lv, fixed_bytes=lv * nh * c * itemsize,
+                     buffers=9))
 
 
 def _bwd_dispatch(value, spatial_shapes, loc_all, attn_all, g, interpret):
@@ -443,9 +447,10 @@ def _bwd_dispatch(value, spatial_shapes, loc_all, attn_all, g, interpret):
     if min(tq_gv, tq_gla) < 128 and n_levels > 1:
         # level partition (see _fwd): gv rows, g_loc/g_attn level slices
         # are disjoint across levels, so per-level calls are exact
-        per = min(min(_bwd_tqs(lq, h * w, nh, c, value.dtype.itemsize))
-                  for h, w in spatial_shapes)
-        if per > min(tq_gv, tq_gla):
+        per_l = [min(_bwd_tqs(lq, h * w, nh, c, value.dtype.itemsize))
+                 for h, w in spatial_shapes]
+        if (min(per_l) > min(tq_gv, tq_gla)
+                or (min(tq_gv, tq_gla) == 0 and max(per_l) > 0)):
             parts, off = [], 0
             for l, (h, w) in enumerate(spatial_shapes):
                 parts.append(_bwd_dispatch(

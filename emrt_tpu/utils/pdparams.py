@@ -286,6 +286,10 @@ def _apply(tag: str, value: np.ndarray, target: np.ndarray) -> np.ndarray:
             return value
         from .checkpoint import _interp_pos_embed
         return _interp_pos_embed(value, target.shape)
+    if tag == "conv1x1_dense":
+        # paddle 1x1 Conv2D [out, in, 1, 1] -> flax Dense kernel [in, out]
+        return np.transpose(value, (2, 3, 1, 0)).reshape(value.shape[1],
+                                                         value.shape[0])
     raise ValueError(f"unknown transform {tag}")
 
 
@@ -314,6 +318,12 @@ def build_key_map(flat_p, model_name: str, encoder_type: str = ""):
 
     if "SETR" in name:
         return (*M.setr_key_map(flat_p), ())
+
+    if "Segformer" in name or "SegFormer" in name:
+        return (*M.segformer_key_map(flat_p), ())
+
+    if "Segmenter" in name:
+        return (*M.segmenter_key_map(flat_p), ())
 
     if "EMRT" not in name:
         raise NotImplementedError(
@@ -393,7 +403,20 @@ def convert_pdparams(pd: Dict[str, np.ndarray], params, batch_stats,
             if pdkey not in pd:
                 missing.append(pdkey)
                 continue
-            converted = _apply(tag, np.asarray(pd[pdkey]), flat[fkey])
+            if tag.startswith("cat:"):
+                # two pd tensors concatenated on the token axis (DeiT
+                # class_token + distill_token -> one [1, 2, D] cls_token)
+                other = tag[4:]
+                if other not in pd:
+                    missing.append(other)
+                    continue
+                used.add(other)
+                src = np.concatenate(
+                    [np.asarray(pd[pdkey]), np.asarray(pd[other])], axis=1)
+                tag = "id"
+            else:
+                src = np.asarray(pd[pdkey])
+            converted = _apply(tag, src, flat[fkey])
             if converted.shape != flat[fkey].shape:
                 raise ValueError(f"{fkey}: converted shape {converted.shape} "
                                  f"!= target {flat[fkey].shape} (pd {pdkey})")

@@ -190,6 +190,56 @@ def mixvit_backbone_map(flat_p, flax="backbone", pd="backbone") -> Maps:
     return pmap, smap, fold
 
 
+def mixvit_zoo_map(flat_p, flax="encoder", pd="backbone") -> Maps:
+    """The SegFormer ZOO model's MixViT copy (src/models/backbones/
+    mix_transformer.py:354-463) nests LayerLists — keys are
+    ``layers.{i}.0`` (PatchEmbed: projection+norm), ``layers.{i}.1.{b}``
+    (blocks) and ``layers.{i}.2`` (stage norm) — and its MixFFN uses 1x1
+    Conv2D fc1/fc2 with a depthwise pe_conv (:167-215), unlike the
+    paddleseg copy's Linears."""
+    pmap, smap, fold = _mk()
+    blocks = _stage_blocks(flat_p, rf"{flax}/stage(\d+)_block(\d+)/norm1/scale")
+    n_stages = max(s for s, _ in blocks) + 1 if blocks else 0
+    for s in range(n_stages):
+        _convp(pmap, f"{flax}/patch_embed{s}", f"{pd}.layers.{s}.0.projection",
+               bias=True)
+        _ln(pmap, f"{flax}/embed_norm{s}", f"{pd}.layers.{s}.0.norm")
+        _ln(pmap, f"{flax}/norm{s}", f"{pd}.layers.{s}.2")
+    for s, b in blocks:
+        fl = f"{flax}/stage{s}_block{b}"
+        pdb = f"{pd}.layers.{s}.1.{b}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.norm1")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.norm2")
+        _dense(pmap, f"{fl}/attn/q", f"{pdb}.attn.q")
+        _dense(pmap, f"{fl}/attn/kv", f"{pdb}.attn.kv")
+        _dense(pmap, f"{fl}/attn/proj", f"{pdb}.attn.proj")
+        if f"{fl}/attn/sr/kernel" in flat_p:
+            _convp(pmap, f"{fl}/attn/sr", f"{pdb}.attn.sr", bias=True)
+            _ln(pmap, f"{fl}/attn/sr_norm", f"{pdb}.attn.norm")
+        pmap[f"{fl}/ffn/fc1/kernel"] = (f"{pdb}.ffn.fc1.weight", "conv1x1_dense")
+        pmap[f"{fl}/ffn/fc1/bias"] = (f"{pdb}.ffn.fc1.bias", "id")
+        _convp(pmap, f"{fl}/ffn/dwconv", f"{pdb}.ffn.pe_conv", bias=True)
+        pmap[f"{fl}/ffn/fc2/kernel"] = (f"{pdb}.ffn.fc2.weight", "conv1x1_dense")
+        pmap[f"{fl}/ffn/fc2/bias"] = (f"{pdb}.ffn.fc2.bias", "id")
+    return pmap, smap, fold
+
+
+def segformer_key_map(flat_p) -> Maps:
+    """SegFormer zoo model: zoo MixViT + SegformerHead
+    (decoders/segformer_head.py:27-98: convs.{i}/fusion_conv ConvModules
+    with BatchNorm, conv_seg classifier)."""
+    pmap, smap, fold = mixvit_zoo_map(flat_p, flax="encoder", pd="backbone")
+    i = 0
+    while f"decoder/conv{i}/Conv_0/kernel" in flat_p:
+        _conv_bn(pmap, smap, f"decoder/conv{i}",
+                 f"decode_head.convs.{i}.conv", f"decode_head.convs.{i}.bn")
+        i += 1
+    _conv_bn(pmap, smap, "decoder/fusion_conv",
+             "decode_head.fusion_conv.conv", "decode_head.fusion_conv.bn")
+    _convp(pmap, "decoder/conv_seg", "decode_head.conv_seg", bias=True)
+    return pmap, smap, fold
+
+
 def hrnet_backbone_map(flat_p, flax="backbone", pd="backbone") -> Maps:
     """HRNet-W{w}: paddleseg ConvBNReLU/ConvBN register ._conv and
     ._batch_norm; fuse-layer BNs on our side are positional (_BN_{idx} in
@@ -264,6 +314,79 @@ def hrnet_backbone_map(flat_p, flax="backbone", pd="backbone") -> Maps:
                                 f"{name}._batch_norm")
                             idx += 1
             m += 1
+    return pmap, smap, fold
+
+
+def deit_backbone_map(flat_p, flax="encoder", pd="encoder") -> Maps:
+    """DeiT (deit.py:225-288): flat ``layers.{i}`` blocks with norm1/norm2
+    + attn.{qkv,proj} naming (unlike vit.py's attn_norm/attn.out), a
+    class_token AND a distill_token (our flax holds both in one
+    [1, 2, D] cls_token — 'cat:' transform)."""
+    pmap, smap, fold = _mk()
+    _convp(pmap, f"{flax}/patch_embed", f"{pd}.patch_embed.proj", bias=True)
+    pmap[f"{flax}/pos_embed"] = (f"{pd}.pos_embed", "pos_embed")
+    pmap[f"{flax}/cls_token"] = (f"{pd}.class_token",
+                                 f"cat:{pd}.distill_token")
+    i = 0
+    while f"{flax}/block{i}/norm1/scale" in flat_p:
+        fl = f"{flax}/block{i}"
+        pdb = f"{pd}.layers.{i}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.norm1")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.norm2")
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+            pmap[f"{fl}/attn/{proj}/kernel"] = (f"{pdb}.attn.qkv.weight",
+                                                f"qkv:{j}")
+            pmap[f"{fl}/attn/{proj}/bias"] = (f"{pdb}.attn.qkv.bias",
+                                              f"qkvb:{j}")
+        pmap[f"{fl}/attn/out_proj/kernel"] = (f"{pdb}.attn.proj.weight",
+                                              "out_heads")
+        pmap[f"{fl}/attn/out_proj/bias"] = (f"{pdb}.attn.proj.bias", "id")
+        _dense(pmap, f"{fl}/mlp/Dense_0", f"{pdb}.mlp.fc1")
+        _dense(pmap, f"{fl}/mlp/Dense_1", f"{pdb}.mlp.fc2")
+        i += 1
+    return pmap, smap, fold
+
+
+def segmenter_key_map(flat_p) -> Maps:
+    """Segmenter (segmentor.py:10-44): ViT or DeiT encoder, shared
+    post-encoder LayerNorm, MaskTransformer (segmentor_head.py:21-86 —
+    its layers reuse vit.py's EncoderLayer, so attn_norm/mlp_norm naming)
+    or LinearDecoder (:89-109)."""
+    is_deit = ("encoder/cls_token" in flat_p
+               and flat_p["encoder/cls_token"].shape[1] == 2)
+    if is_deit:
+        pmap, smap, fold = deit_backbone_map(flat_p, flax="encoder",
+                                             pd="encoder")
+    else:
+        pmap, smap, fold = vit_backbone_map(flat_p, flax="encoder",
+                                            pd="encoder.transformer")
+    _ln(pmap, "norm", "norm")
+    if "decoder/head/kernel" in flat_p:   # LinearDecoder
+        _dense(pmap, "decoder/head", "decoder.head")
+        return pmap, smap, fold
+    i = 0
+    while f"decoder/layer{i}/norm1/scale" in flat_p:
+        fl = f"decoder/layer{i}"
+        pdb = f"decoder.layers.{i}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.attn_norm")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.mlp_norm")
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+            pmap[f"{fl}/attn/{proj}/kernel"] = (f"{pdb}.attn.qkv.weight",
+                                                f"qkv:{j}")
+            pmap[f"{fl}/attn/{proj}/bias"] = (f"{pdb}.attn.qkv.bias",
+                                              f"qkvb:{j}")
+        pmap[f"{fl}/attn/out_proj/kernel"] = (f"{pdb}.attn.out.weight",
+                                              "out_heads")
+        pmap[f"{fl}/attn/out_proj/bias"] = (f"{pdb}.attn.out.bias", "id")
+        _dense(pmap, f"{fl}/mlp/Dense_0", f"{pdb}.mlp.fc1")
+        _dense(pmap, f"{fl}/mlp/Dense_1", f"{pdb}.mlp.fc2")
+        i += 1
+    pmap["decoder/mask_tokens"] = ("decoder.mask_tokens", "id")
+    _dense(pmap, "decoder/proj_decoder", "decoder.proj_decoder")
+    _dense(pmap, "decoder/proj_patch", "decoder.proj_patch", bias=False)
+    _dense(pmap, "decoder/proj_class", "decoder.proj_class", bias=False)
+    _ln(pmap, "decoder/decoder_norm", "decoder.decoder_norm")
+    _ln(pmap, "decoder/mask_norm", "decoder.mask_norm")
     return pmap, smap, fold
 
 

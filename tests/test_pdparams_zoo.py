@@ -37,6 +37,8 @@ def _invert_shape(tag: str, flax_shape):
         return (d, 3 * int(np.prod(s[1:])))
     if tag == "out_heads":
         return (int(np.prod(s[:-1])), s[-1])
+    if tag == "conv1x1_dense":
+        return (s[1], s[0], 1, 1)
     raise ValueError(tag)
 
 
@@ -49,6 +51,12 @@ def synth_pdparams(params, batch_stats, model_name, encoder_type, seed=0):
     for flat, mapping in ((flat_p, pmap), (flat_s, smap)):
         for fkey, (pdkey, tag) in mapping.items():
             if fkey not in flat:
+                continue
+            if tag.startswith("cat:"):   # DeiT class_token + distill_token
+                d = flat[fkey].shape[-1]
+                for k in (pdkey, tag[4:]):
+                    pd[k] = rng.normal(scale=0.05, size=(1, 1, d)
+                                       ).astype(np.float32)
                 continue
             shape = _invert_shape(tag, flat[fkey].shape)
             if pdkey not in pd:
@@ -241,6 +249,62 @@ def test_convert_setr_pup():
                    "decoder.syncbn_fc_3._variance",
                    "aux_decoder5.conv_1.weight",
                    "aux_decoder2.syncbn_fc_0.weight",
+               ))
+
+
+def test_convert_segformer_zoo():
+    # zoo MixViT copy (mix_transformer.py:354-463: nested layers.{i}.{0,1,2},
+    # conv-based MixFFN with pe_conv) + SegformerHead ConvModules
+    from emrt_tpu.models.segformer import Segformer
+    model = Segformer(num_classes=4, embed_dims=(8, 16, 32, 64),
+                      depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                      sr_ratios=(8, 4, 2, 1), head_channels=16)
+    _roundtrip(model, "Segformer", "MixViT", hw=64,
+               expect_samples=(
+                   "backbone.layers.0.0.projection.weight",
+                   "backbone.layers.3.0.norm.weight",
+                   "backbone.layers.0.1.0.attn.sr.weight",
+                   "backbone.layers.0.1.0.attn.norm.weight",
+                   "backbone.layers.2.1.0.ffn.fc1.weight",
+                   "backbone.layers.1.1.0.ffn.pe_conv.weight",
+                   "backbone.layers.3.2.weight",
+                   "decode_head.convs.0.conv.weight",
+                   "decode_head.convs.3.bn._variance",
+                   "decode_head.fusion_conv.conv.weight",
+                   "decode_head.conv_seg.bias",
+               ))
+
+
+def test_convert_segmenter_vit_mask_and_deit_linear():
+    # segmentor.py:10-44 + segmentor_head.py:21-109; DeiT per deit.py:236-288
+    from emrt_tpu.models.segmenter import Segmenter
+    vit = Segmenter(num_classes=4, decoder_type="MaskTransformer",
+                    patch_size=16, hidden_size=32, num_layers=2,
+                    num_heads=2, seg_num_layers=1)
+    _roundtrip(vit, "Segmenter", "ViT", hw=64,
+               expect_samples=(
+                   "encoder.transformer.embeddings.patch_embeddings.weight",
+                   "norm.weight",
+                   "decoder.layers.0.attn.qkv.weight",
+                   "decoder.layers.0.attn_norm.weight",
+                   "decoder.mask_tokens",
+                   "decoder.proj_patch.weight",
+                   "decoder.proj_class.weight",
+                   "decoder.decoder_norm.weight",
+                   "decoder.mask_norm.bias",
+               ))
+    deit = Segmenter(num_classes=4, decoder_type="LinearDecoder",
+                     patch_size=16, hidden_size=32, num_layers=2,
+                     num_heads=2, distilled=True)
+    _roundtrip(deit, "Segmenter_Linear", "DeiT", hw=64,
+               expect_samples=(
+                   "encoder.patch_embed.proj.weight",
+                   "encoder.class_token",
+                   "encoder.distill_token",
+                   "encoder.pos_embed",
+                   "encoder.layers.1.attn.proj.weight",
+                   "encoder.layers.0.norm1.weight",
+                   "decoder.head.weight",
                ))
 
 
