@@ -239,22 +239,41 @@ def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
       gm_scr [tq, lv] f32."""
     bf16 = v_ref.dtype == jnp.bfloat16
     n_levels = len(shapes)
+    P = n_points
     tables = []
     for l, (h, w) in enumerate(shapes):
         hw = h * w
         col_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) % w
                  ).astype(jnp.float32)
         if bf16:
-            rowh = jax.lax.broadcasted_iota(jnp.int32, (tq, h), 1
-                                            ).astype(jnp.float32)
+            # grouped y-side finale: the P points of one (head, level)
+            # share lane-groups of width h, so rowh4 is P copies of the
+            # row index, `spread` broadcasts each point's scalar y into
+            # its group, and `ones_b` sums each group back to one lane —
+            # this replaces 3*P cross-lane reductions per (head, level)
+            # with 3 tiny block-ones matmuls (the per-point [tq, h]
+            # lane-sums were ~35% of this kernel's runtime)
             kk_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 0)
             hh_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 1)
             reduce_t = (kk_t // w == hh_t).astype(jnp.bfloat16)
-            tables.append((col_t, rowh, reduce_t))
+            rowh4 = (jax.lax.broadcasted_iota(jnp.int32, (tq, P * h), 1) % h
+                     ).astype(jnp.float32)
+            jj4 = jax.lax.broadcasted_iota(jnp.int32, (P, P * h), 1)
+            pp4 = jax.lax.broadcasted_iota(jnp.int32, (P, P * h), 0)
+            spread = (jj4 // h == pp4).astype(jnp.float32)
+            ones_b = spread.T
+            tables.append((col_t, reduce_t, rowh4, spread, ones_b))
         else:
             row_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) // w
                      ).astype(jnp.float32)
-            tables.append((col_t, row_t, None))
+            tables.append((col_t, row_t))
+    if bf16:
+        # x/y lane interleave for the gloc store (Mosaic has no
+        # [tq, P, 2] -> [tq, 2P] shape cast; one-hot matmuls are exact)
+        jj2 = jax.lax.broadcasted_iota(jnp.int32, (P, 2 * P), 1)
+        pp2 = jax.lax.broadcasted_iota(jnp.int32, (P, 2 * P), 0)
+        ileave_x = (jj2 == 2 * pp2).astype(jnp.float32)
+        ileave_y = (jj2 == 2 * pp2 + 1).astype(jnp.float32)
 
     for hd in range(n_heads):
         g = g_ref[0, :, hd * c:(hd + 1) * c]
@@ -272,42 +291,86 @@ def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
         off = 0
         for l, (h, w) in enumerate(shapes):
             hw = h * w
-            col_t, row_tab, reduce_t = tables[l]
             gm = gm_scr[:, off:off + hw]
-            for p in range(n_points):
-                jj = (hd * n_levels + l) * n_points + p
-                x_pix = loc_ref[0, :, 2 * jj:2 * jj + 1] * w - 0.5
-                y_pix = loc_ref[0, :, 2 * jj + 1:2 * jj + 2] * h - 0.5
-                a = attn_ref[0, :, jj:jj + 1].astype(jnp.float32)
-                dxs = col_t - x_pix
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
-                dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
-                if bf16:
-                    dys_s = row_tab - y_pix                          # [tq, h]
-                    wy_s = jnp.maximum(0.0, 1.0 - jnp.abs(dys_s))
-                    dwy_s = jnp.where(wy_s > 0.0, jnp.sign(dys_s), 0.0)
+            j0 = (hd * n_levels + l) * n_points
+            if bf16:
+                col_t, reduce_t, rowh4, spread, ones_b = tables[l]
+                urs, trs = [], []
+                for p in range(n_points):
+                    jj = j0 + p
+                    x_pix = loc_ref[0, :, 2 * jj:2 * jj + 1] * w - 0.5
+                    dxs = col_t - x_pix
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
+                    dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
                     u = (gm * wx).astype(jnp.bfloat16)
                     t = (gm * dwx).astype(jnp.bfloat16)
-                    u_r = jnp.dot(u, reduce_t,
-                                  preferred_element_type=jnp.float32)
-                    t_r = jnp.dot(t, reduce_t,
-                                  preferred_element_type=jnp.float32)
-                    ga = jnp.sum(u_r * wy_s, axis=1)
-                    gx = jnp.sum(t_r * wy_s, axis=1)
-                    gy = jnp.sum(u_r * dwy_s, axis=1)
-                else:
+                    urs.append(jnp.dot(u, reduce_t,
+                                       preferred_element_type=jnp.float32))
+                    trs.append(jnp.dot(t, reduce_t,
+                                       preferred_element_type=jnp.float32))
+                u4 = jnp.concatenate(urs, axis=1)            # [tq, P*h]
+                t4 = jnp.concatenate(trs, axis=1)
+                # per-point y broadcast into its lane group (exact: the
+                # spread matrix is one-hot and runs at HIGHEST precision
+                # — bf16-rounded positions corrupt hat boundaries)
+                ys = jnp.concatenate(
+                    [loc_ref[0, :, 2 * (j0 + p) + 1:2 * (j0 + p) + 2]
+                     for p in range(n_points)], axis=1)      # [tq, P]
+                y4 = jax.lax.dot_general(
+                    ys, spread, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) * h - 0.5
+                dys4 = rowh4 - y4
+                wy4 = jnp.maximum(0.0, 1.0 - jnp.abs(dys4))
+                dwy4 = jnp.where(wy4 > 0.0, jnp.sign(dys4), 0.0)
+
+                def segsum(x):                               # [tq, P]
+                    return jax.lax.dot_general(
+                        x, ones_b, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+                ga4 = segsum(u4 * wy4)
+                gx4 = segsum(t4 * wy4)
+                gy4 = segsum(u4 * dwy4)
+                a4 = attn_ref[0, :, j0:j0 + n_points].astype(jnp.float32)
+
+                def ileave(x, m):
+                    return jax.lax.dot_general(
+                        x, m, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+                gl4 = (ileave(a4 * (w * gx4), ileave_x)
+                       + ileave(a4 * (h * gy4), ileave_y))
+                gattn_ref[0, :, j0:j0 + n_points] = ga4.astype(
+                    gattn_ref.dtype)
+                gloc_ref[0, :, 2 * j0:2 * (j0 + n_points)] = gl4.astype(
+                    gloc_ref.dtype)
+            else:
+                col_t, row_tab = tables[l]
+                gas, glocs = [], []
+                for p in range(n_points):
+                    jj = j0 + p
+                    x_pix = loc_ref[0, :, 2 * jj:2 * jj + 1] * w - 0.5
+                    y_pix = loc_ref[0, :, 2 * jj + 1:2 * jj + 2] * h - 0.5
+                    a = attn_ref[0, :, jj:jj + 1].astype(jnp.float32)
+                    dxs = col_t - x_pix
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxs))
+                    dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
                     dys = row_tab - y_pix
                     wy = jnp.maximum(0.0, 1.0 - jnp.abs(dys))
                     dwy = jnp.where(wy > 0.0, jnp.sign(dys), 0.0)
-                    ga = jnp.sum((gm * wx) * wy, axis=1)
-                    gx = jnp.sum((gm * wy) * dwx, axis=1)
-                    gy = jnp.sum((gm * wx) * dwy, axis=1)
-                gattn_ref[0, :, jj:jj + 1] = ga[:, None].astype(
-                    gattn_ref.dtype)
-                gloc_ref[0, :, 2 * jj:2 * jj + 1] = (
-                    a * (w * gx[:, None])).astype(gloc_ref.dtype)
-                gloc_ref[0, :, 2 * jj + 1:2 * jj + 2] = (
-                    a * (h * gy[:, None])).astype(gloc_ref.dtype)
+                    ga = jnp.sum((gm * wx) * wy, axis=1, keepdims=True)
+                    gx = jnp.sum((gm * wy) * dwx, axis=1, keepdims=True)
+                    gy = jnp.sum((gm * wx) * dwy, axis=1, keepdims=True)
+                    gas.append(ga)
+                    glocs.append(a * (w * gx))
+                    glocs.append(a * (h * gy))
+                gattn_ref[0, :, j0:j0 + n_points] = jnp.concatenate(
+                    gas, axis=1).astype(gattn_ref.dtype)
+                gloc_ref[0, :, 2 * j0:2 * (j0 + n_points)] = jnp.concatenate(
+                    glocs, axis=1).astype(gloc_ref.dtype)
             off += hw
 
 
