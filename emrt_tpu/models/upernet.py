@@ -47,6 +47,12 @@ class UperNet(nn.Module):
                 num_heads=self.num_heads, split_sizes=self.split_sizes,
                 mlp_ratio=self.mlp_ratio, drop_path_rate=self.drop_path,
                 dtype=self.dtype, name="encoder")(x, train)
+            # the reference norms every backbone output before the head
+            # (upernet.py:60-63, 97-99); Swin/Focal do this inside our
+            # backbone (norm{s}) but CSwin feeds raw stage features
+            feats = [nn.LayerNorm(dtype=jnp.float32,
+                                  name=f"layer_norm{i}")(f).astype(self.dtype)
+                     for i, f in enumerate(feats)]
         elif self.encoder_type == "FocalTransformer":
             from .backbones.focal import FocalTransformer
             feats = FocalTransformer(

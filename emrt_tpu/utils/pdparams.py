@@ -325,10 +325,14 @@ def build_key_map(flat_p, model_name: str, encoder_type: str = ""):
     if "Segmenter" in name:
         return (*M.segmenter_key_map(flat_p), ())
 
+    if "UperNet" in name or "Upernet" in name:
+        return (*M.upernet_key_map(flat_p), ())
+
     if "EMRT" not in name:
         raise NotImplementedError(
             f"no .pdparams key map for model {model_name!r} "
-            f"(families covered: EMRT r50/cswin/vit/hrnet/segformer_b4, SETR)")
+            f"(families covered: EMRT r50/cswin/vit/hrnet/segformer_b4, "
+            f"SETR, SegFormer, Segmenter, UperNet swin/cswin)")
 
     maps = emrt_trunk_key_map(n_enc, n_dec)
     if "EMRT_CSwin" in name or enc == "cswintransformer":

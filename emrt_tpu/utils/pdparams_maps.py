@@ -317,6 +317,104 @@ def hrnet_backbone_map(flat_p, flax="backbone", pd="backbone") -> Maps:
     return pmap, smap, fold
 
 
+def swin_backbone_map(flat_p, flax="encoder", pd="encoder") -> Maps:
+    """SwinTransformer (swin_transformer.py:575-651): patch_embedding
+    conv+norm, stages.{s}.blocks.{b} with fused-qkv WindowAttention and a
+    relative_position_bias_table, stages.{s}.downsample PatchMerging.
+    Our per-out-stage norm{s} correspond to the reference UperNet's
+    top-level layer_norms (upernet.py:60-63) and are mapped by the
+    caller."""
+    pmap, smap, fold = _mk()
+    _convp(pmap, f"{flax}/patch_embed", f"{pd}.patch_embedding.patch_embed",
+           bias=True)
+    _ln(pmap, f"{flax}/patch_norm", f"{pd}.patch_embedding.norm")
+    blocks = _stage_blocks(flat_p, rf"{flax}/stage(\d+)_block(\d+)/norm1/scale")
+    n_stages = max(s for s, _ in blocks) + 1 if blocks else 0
+    for s, b in blocks:
+        fl = f"{flax}/stage{s}_block{b}"
+        pdb = f"{pd}.stages.{s}.blocks.{b}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.norm1")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.norm2")
+        _dense(pmap, f"{fl}/attn/qkv", f"{pdb}.attn.qkv")
+        _dense(pmap, f"{fl}/attn/proj", f"{pdb}.attn.proj")
+        pmap[f"{fl}/attn/relative_position_bias_table"] = (
+            f"{pdb}.attn.relative_position_bias_table", "id")
+        _dense(pmap, f"{fl}/mlp/Dense_0", f"{pdb}.mlp.fc1")
+        _dense(pmap, f"{fl}/mlp/Dense_1", f"{pdb}.mlp.fc2")
+    for s in range(max(n_stages - 1, 0)):
+        _ln(pmap, f"{flax}/merge{s}/norm", f"{pd}.stages.{s}.downsample.norm")
+        _dense(pmap, f"{flax}/merge{s}/reduction",
+               f"{pd}.stages.{s}.downsample.reduction", bias=False)
+    return pmap, smap, fold
+
+
+def _uper_head_map(pmap, smap, flat_p, flax="decoder", pd="decoder"):
+    """UperHead (decoders/uper_head.py:29-69 + psp_head.py:30-44):
+    psp branches (Sequential: pool/conv/bn), bottleneck, lateral_convs,
+    fpn_convs, fpn_bottleneck, conv_seg."""
+    i = 0
+    while f"{flax}/psp{i}/Conv_0/kernel" in flat_p:
+        _conv_bn(pmap, smap, f"{flax}/psp{i}",
+                 f"{pd}.psp_modules.pool_branches.{i}.1",
+                 f"{pd}.psp_modules.pool_branches.{i}.2")
+        i += 1
+    _conv_bn(pmap, smap, f"{flax}/bottleneck", f"{pd}.bottleneck.0",
+             f"{pd}.bottleneck.1")
+    i = 0
+    while f"{flax}/lateral{i}/Conv_0/kernel" in flat_p:
+        _conv_bn(pmap, smap, f"{flax}/lateral{i}",
+                 f"{pd}.lateral_convs.{i}.0", f"{pd}.lateral_convs.{i}.1")
+        _conv_bn(pmap, smap, f"{flax}/fpn{i}",
+                 f"{pd}.fpn_convs.{i}.0", f"{pd}.fpn_convs.{i}.1")
+        i += 1
+    _conv_bn(pmap, smap, f"{flax}/fpn_bottleneck", f"{pd}.fpn_bottleneck.0",
+             f"{pd}.fpn_bottleneck.1")
+    _convp(pmap, f"{flax}/conv_seg", f"{pd}.conv_seg", bias=True)
+
+
+def _fcn_head_map(pmap, smap, flat_p, flax="aux_decoder", pd="aux_decoder"):
+    """Zoo FCNHead (decoders/fcn_head.py:45-67): convs.{i} Sequential
+    pairs + conv_seg classifier."""
+    i = 0
+    while f"{flax}/conv{i}/Conv_0/kernel" in flat_p:
+        _conv_bn(pmap, smap, f"{flax}/conv{i}",
+                 f"{pd}.convs.{i}.0", f"{pd}.convs.{i}.1")
+        i += 1
+    if f"{flax}/conv_cat/Conv_0/kernel" in flat_p:
+        _conv_bn(pmap, smap, f"{flax}/conv_cat",
+                 f"{pd}.conv_cat.0", f"{pd}.conv_cat.1")
+    _convp(pmap, f"{flax}/conv_seg", f"{pd}.conv_seg", bias=True)
+
+
+def upernet_key_map(flat_p) -> Maps:
+    """UperNet (upernet.py:41-106): Swin or CSwin encoder + top-level
+    layer_norms + UperHead decoder + FCNHead aux. (Focal is excluded: our
+    backbone is a documented TPU-idiomatic re-design whose parameters do
+    not correspond 1:1 to the reference's Unfold-based layout.)"""
+    if any(k.startswith("encoder/stage0_block0/attn/qkv") for k in flat_p):
+        pmap, smap, fold = swin_backbone_map(flat_p, flax="encoder",
+                                             pd="encoder")
+        # our swin's per-out-stage norms ARE the reference's layer_norms
+        s = 0
+        while f"encoder/norm{s}/scale" in flat_p:
+            _ln(pmap, f"encoder/norm{s}", f"layer_norms.{s}")
+            s += 1
+    elif any(k.startswith("encoder/stage0_block0/qkv") for k in flat_p):
+        pmap, smap, fold = cswin_backbone_map(flat_p, flax="encoder",
+                                              pd="encoder")
+        s = 0
+        while f"layer_norm{s}/scale" in flat_p:
+            _ln(pmap, f"layer_norm{s}", f"layer_norms.{s}")
+            s += 1
+    else:
+        raise NotImplementedError(
+            "no .pdparams map for this UperNet encoder (Focal's TPU "
+            "re-design has no 1:1 parameter correspondence)")
+    _uper_head_map(pmap, smap, flat_p)
+    _fcn_head_map(pmap, smap, flat_p)
+    return pmap, smap, fold
+
+
 def deit_backbone_map(flat_p, flax="encoder", pd="encoder") -> Maps:
     """DeiT (deit.py:225-288): flat ``layers.{i}`` blocks with norm1/norm2
     + attn.{qkv,proj} naming (unlike vit.py's attn_norm/attn.out), a

@@ -308,6 +308,46 @@ def test_convert_segmenter_vit_mask_and_deit_linear():
                ))
 
 
+def test_convert_upernet_swin_and_cswin():
+    # swin_transformer.py:95-651 (patch_embedding, stages.{s}.blocks.{b},
+    # downsample) + upernet.py:60-78 (layer_norms, decoder, aux_decoder) +
+    # uper_head.py:40-69 / psp_head.py:38-44 Sequential indices
+    from emrt_tpu.models.upernet import UperNet
+    swin = UperNet(num_classes=4, encoder_type="SwinTransformer",
+                   embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                   window_size=4, uper_channels=16, aux_channels=8)
+    _roundtrip(swin, "UperNet", "SwinTransformer", hw=64,
+               expect_samples=(
+                   "encoder.patch_embedding.patch_embed.weight",
+                   "encoder.stages.0.blocks.0.attn.qkv.weight",
+                   "encoder.stages.0.blocks.0.attn.relative_position_bias_table",
+                   "encoder.stages.2.downsample.reduction.weight",
+                   "encoder.stages.0.blocks.0.mlp.fc1.weight",
+                   "layer_norms.3.weight",
+                   "decoder.psp_modules.pool_branches.0.1.weight",
+                   "decoder.psp_modules.pool_branches.3.2._variance",
+                   "decoder.bottleneck.0.weight",
+                   "decoder.lateral_convs.2.0.weight",
+                   "decoder.fpn_convs.0.1.weight",
+                   "decoder.fpn_bottleneck.0.weight",
+                   "decoder.conv_seg.bias",
+                   "aux_decoder.convs.0.0.weight",
+                   "aux_decoder.conv_seg.weight",
+               ))
+    cswin = UperNet(num_classes=4, encoder_type="CSwinTransformer",
+                    embed_dim=8, depths=(1, 1, 1, 1), num_heads=(2, 4, 8, 8),
+                    split_sizes=(1, 2, 2, 2), uper_channels=16,
+                    aux_channels=8)
+    _roundtrip(cswin, "UperNet_CSwin", "CSwinTransformer", hw=64,
+               expect_samples=(
+                   "encoder.patch_embedding.patch_embed.weight",
+                   "encoder.stages.0.blocks.0.attns.0.get_v.weight",
+                   "encoder.stages.0.merge.conv.weight",
+                   "layer_norms.0.weight",
+                   "decoder.conv_seg.bias",
+               ))
+
+
 def test_pos_embed_interp_on_convert():
     """A pd position embedding trained at a different resolution is
     bilinearly re-interpolated (reference checkpoint.py:55-71)."""
