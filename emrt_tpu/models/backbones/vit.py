@@ -22,13 +22,15 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    qkv_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         h = MultiHeadAttention(self.dim, self.num_heads,
-                               dropout=self.attn_dropout, dtype=self.dtype,
+                               dropout=self.attn_dropout,
+                               qkv_bias=self.qkv_bias, dtype=self.dtype,
                                name="attn")(h, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)

@@ -71,7 +71,8 @@ class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
-    dtype: Any = jnp.float32
+    qkv_bias: bool = True      # Trans2Seg's transformer uses bias-free q/k/v
+    dtype: Any = jnp.float32   # (trans2seg_transformer.py:102,110 default)
 
     @nn.compact
     def __call__(self, query, key=None, value=None, deterministic: bool = True):
@@ -80,6 +81,7 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.embed_dim // self.num_heads
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
             (self.num_heads, head_dim), dtype=self.dtype,
+            use_bias=self.qkv_bias,
             kernel_init=xavier_uniform, name=name)
         q = dense("q_proj")(query)
         k = dense("k_proj")(key)

@@ -144,8 +144,10 @@ class Trans2Seg(nn.Module):
              tokens], axis=1) + pos.astype(self.dtype)
         from .backbones.vit import ViTBlock
         for i in range(self.depth):
+            # qkv_bias=False per the reference encoder default
+            # (trans2seg_transformer.py:102,110 - bias_attr=qkv_bias=False)
             tokens = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                              dtype=self.dtype,
+                              qkv_bias=False, dtype=self.dtype,
                               name=f"enc_block{i}")(tokens, deterministic=det)
         tokens = nn.LayerNorm(dtype=jnp.float32,
                               name="enc_norm")(tokens).astype(self.dtype)

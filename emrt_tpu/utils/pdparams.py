@@ -267,6 +267,14 @@ def emrt_r50_key_map(num_enc_layers: int = 4, num_dec_layers: int = 2):
 def _apply(tag: str, value: np.ndarray, target: np.ndarray) -> np.ndarray:
     if tag == "conv":
         return _conv(value)
+    if tag == "convt":
+        # paddle Conv2DTranspose [in, out, kh, kw] -> flax ConvTranspose
+        # [kh, kw, in, out]; flax (transpose_kernel=False) CORRELATES the
+        # dilated input while paddle/torch transposed conv convolves, so
+        # the spatial taps must be flipped (verified vs torch in
+        # tests/test_pdparams_zoo.py::test_convt_matches_torch)
+        return np.ascontiguousarray(
+            np.transpose(value, (2, 3, 0, 1))[::-1, ::-1])
     if tag == "id":
         return value.reshape(target.shape) if value.shape != target.shape \
             else value
@@ -328,11 +336,23 @@ def build_key_map(flat_p, model_name: str, encoder_type: str = ""):
     if "UperNet" in name or "Upernet" in name:
         return (*M.upernet_key_map(flat_p), ())
 
+    if "Trans2Seg" in name or "Trans2seg" in name:
+        return (*M.trans2seg_key_map(flat_p), ())
+
+    if "DPT" in name:
+        # refine.3.resblock1 is registered but unreachable (the top
+        # fusion block gets x=None, dpt_head.py:144-148)
+        return (*M.dpt_key_map(flat_p), ("refine.3.resblock1",))
+
+    if "FCN" in name:
+        return (*M.fcn_key_map(flat_p), ())
+
     if "EMRT" not in name:
         raise NotImplementedError(
             f"no .pdparams key map for model {model_name!r} "
             f"(families covered: EMRT r50/cswin/vit/hrnet/segformer_b4, "
-            f"SETR, SegFormer, Segmenter, UperNet swin/cswin)")
+            f"SETR, SegFormer, Segmenter, UperNet swin/cswin, Trans2Seg, "
+            f"DPT, FCN)")
 
     maps = emrt_trunk_key_map(n_enc, n_dec)
     if "EMRT_CSwin" in name or enc == "cswintransformer":

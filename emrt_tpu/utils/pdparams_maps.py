@@ -415,6 +415,156 @@ def upernet_key_map(flat_p) -> Maps:
     return pmap, smap, fold
 
 
+def resnet_seg_backbone_map(flat_p, flax="cnn_encoder",
+                            pd="cnn_encoder") -> Maps:
+    """Paddleseg-style ResNetV1 (backbones/resnet.py:102-199): deep-stem
+    ``conv1.{0,1,3,4,6}`` Sequential + ``bn1`` (or plain ``conv1``/``bn1``),
+    then ``layer{1..4}.{b}.{conv,bn}{1..n}`` + ``downsample.{0,1}``.
+    Our flax ResNet uses auto-named modules: stem Conv_{0..2}/_BN_{0..2},
+    then one sequentially-numbered Bottleneck_{i}/BasicBlock_{i} per block
+    across all four stages."""
+    pmap, smap, fold = _mk()
+
+    def bnw(fl, pdp):
+        _bn(pmap, smap, f"{fl}/BatchNorm_0", pdp)
+
+    deep = f"{flax}/Conv_2/kernel" in flat_p
+    if deep:
+        for j, pdi in enumerate((0, 3, 6)):
+            _convp(pmap, f"{flax}/Conv_{j}", f"{pd}.conv1.{pdi}")
+        bnw(f"{flax}/_BN_0", f"{pd}.conv1.1")
+        bnw(f"{flax}/_BN_1", f"{pd}.conv1.4")
+        bnw(f"{flax}/_BN_2", f"{pd}.bn1")
+    else:
+        _convp(pmap, f"{flax}/Conv_0", f"{pd}.conv1")
+        bnw(f"{flax}/_BN_0", f"{pd}.bn1")
+
+    block = "Bottleneck" if f"{flax}/Bottleneck_0/Conv_0/kernel" in flat_p \
+        else "BasicBlock"
+    n_convs = 3 if block == "Bottleneck" else 2
+    n_blocks = 0
+    while f"{flax}/{block}_{n_blocks}/Conv_0/kernel" in flat_p:
+        n_blocks += 1
+    layers = {8: (2, 2, 2, 2), 16: (3, 4, 6, 3), 33: (3, 4, 23, 3),
+              52: (3, 8, 36, 3)}[n_blocks]
+    i = 0
+    for stage, depth in enumerate(layers):
+        for b in range(depth):
+            fl = f"{flax}/{block}_{i}"
+            pdb = f"{pd}.layer{stage + 1}.{b}"
+            for j in range(n_convs):
+                _convp(pmap, f"{fl}/Conv_{j}", f"{pdb}.conv{j + 1}")
+                bnw(f"{fl}/_BN_{j}", f"{pdb}.bn{j + 1}")
+            if f"{fl}/Conv_{n_convs}/kernel" in flat_p:
+                _convp(pmap, f"{fl}/Conv_{n_convs}", f"{pdb}.downsample.0")
+                bnw(f"{fl}/_BN_{n_convs}", f"{pdb}.downsample.1")
+            i += 1
+    return pmap, smap, fold
+
+
+def fcn_key_map(flat_p) -> Maps:
+    """FCN baseline (fcn.py:22-64): paddleseg resnet50c ``cnn_encoder`` +
+    ``head.conv_1.{0 conv(bias),1 syncbn}`` + ``head.cls``. The head conv's
+    bias (bias_attr=True, fcn.py:54) is folded into the BN running mean."""
+    pmap, smap, fold = resnet_seg_backbone_map(flat_p)
+    _conv_bn(pmap, smap, "head_conv", "head.conv_1.0", "head.conv_1.1")
+    fold["head_conv/BatchNorm_0/mean"] = "head.conv_1.0.bias"
+    _convp(pmap, "head_cls", "head.cls", bias=True)
+    return pmap, smap, fold
+
+
+def trans2seg_key_map(flat_p) -> Maps:
+    """Trans2Seg (trans2seg.py:24-108 + trans2seg_transformer.py:88-421 +
+    trans2seg_head.py:21-130): paddleseg resnet50c, flat encoder blocks
+    with fused bias-free qkv, class-prototype decoder blocks
+    (fc_q/fc_kv bias-free, proj biased), separable-conv head."""
+    pmap, smap, fold = resnet_seg_backbone_map(flat_p)
+    enc = "transformer_encoder"
+    dec = "transformer_decoder"
+    _dense(pmap, "hybrid_embed", "hybrid_embed.proj")
+    pmap["cls_token"] = (f"{enc}.cls_token", "id")
+    pmap["pos_embed"] = (f"{enc}.pos_embed", "pos_embed")
+    i = 0
+    while f"enc_block{i}/norm1/scale" in flat_p:
+        fl = f"enc_block{i}"
+        pdb = f"{enc}.blocks_encoder.{i}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.norm1")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.norm2")
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+            pmap[f"{fl}/attn/{proj}/kernel"] = (f"{pdb}.attn.qkv.weight",
+                                                f"qkv:{j}")
+        pmap[f"{fl}/attn/out_proj/kernel"] = (f"{pdb}.attn.proj.weight",
+                                              "out_heads")
+        pmap[f"{fl}/attn/out_proj/bias"] = (f"{pdb}.attn.proj.bias", "id")
+        _dense(pmap, f"{fl}/mlp/Dense_0", f"{pdb}.mlp.fc1")
+        _dense(pmap, f"{fl}/mlp/Dense_1", f"{pdb}.mlp.fc2")
+        i += 1
+    _ln(pmap, "enc_norm", f"{enc}.norm")
+    pmap["cls_embed"] = (f"{dec}.cls_embed", "id")
+    i = 0
+    while f"dec_block{i}/norm1/scale" in flat_p:
+        fl = f"dec_block{i}"
+        pdb = f"{dec}.blocks_decoder.{i}"
+        for n in ("norm1", "norm1_clsembed", "norm2", "norm3", "norm4"):
+            _ln(pmap, f"{fl}/{n}", f"{pdb}.{n}")
+        _dense(pmap, f"{fl}/attn/fc_q", f"{pdb}.attn.fc_q", bias=False)
+        _dense(pmap, f"{fl}/attn/fc_kv", f"{pdb}.attn.fc_kv", bias=False)
+        _dense(pmap, f"{fl}/attn/proj", f"{pdb}.attn.proj")
+        for m in ("mlp", "mlp2", "mlp3"):
+            _dense(pmap, f"{fl}/{m}/Dense_0", f"{pdb}.{m}.fc1")
+            _dense(pmap, f"{fl}/{m}/Dense_1", f"{pdb}.{m}.fc2")
+        i += 1
+    for lay in ("lay1", "lay2", "lay3"):
+        pdl = f"cnn_head.{lay}.block"
+        _convp(pmap, f"{lay}/depthwise", f"{pdl}.depthwise")
+        _bn(pmap, smap, f"{lay}/bn_depth", f"{pdl}.bn_depth")
+        _convp(pmap, f"{lay}/pointwise", f"{pdl}.pointwise")
+        _bn(pmap, smap, f"{lay}/bn_point", f"{pdl}.bn_point")
+    _convp(pmap, "conv_c1", "cnn_head.conv_c1.conv")
+    _bn(pmap, smap, "conv_c1_bn", "cnn_head.conv_c1.bn")
+    _convp(pmap, "pred", "cnn_head.pred", bias=True)
+    return pmap, smap, fold
+
+
+def dpt_key_map(flat_p) -> Maps:
+    """DPT (dpt.py:25-41 + dpt_head.py:157-230): ViT backbone under
+    ``backbone.transformer``, project-readout ``head.readout_oper.{i}.
+    proj.0``, per-tap process stacks ``head.process.{i}.{0,1}``
+    (transposed convs for taps 0/1, stride-2 conv for tap 3),
+    ``head.layers_rn.{i}``, four FeatureFusionBlocks ``head.refine.{i}``
+    (refine.3's resblock1 is registered but never runs - the top fusion
+    gets x=None, dpt_head.py:144-148), and the 5-layer ``head.head``."""
+    pmap, smap, fold = vit_backbone_map(flat_p, flax="backbone",
+                                        pd="backbone.transformer")
+    for i in range(4):
+        if f"readout_proj{i}/kernel" in flat_p:
+            _dense(pmap, f"readout_proj{i}", f"head.readout_oper.{i}.proj.0")
+        _convp(pmap, f"process{i}_proj", f"head.process.{i}.0", bias=True)
+        _convp(pmap, f"layers_rn{i}", f"head.layers_rn.{i}")
+    pmap["process0_up/kernel"] = ("head.process.0.1.weight", "convt")
+    pmap["process0_up/bias"] = ("head.process.0.1.bias", "id")
+    pmap["process1_up/kernel"] = ("head.process.1.1.weight", "convt")
+    pmap["process1_up/bias"] = ("head.process.1.1.bias", "id")
+    _convp(pmap, "process3_down", "head.process.3.1", bias=True)
+
+    def resblock(fl, pdb):
+        for c in ("conv1", "conv2"):
+            _convp(pmap, f"{fl}/{c}", f"{pdb}.{c}")
+        for b in ("bn1", "bn2"):
+            _bn(pmap, smap, f"{fl}/{b}", f"{pdb}.{b}")
+
+    for i in range(4):
+        if f"refine{i}/resblock1/conv1/kernel" in flat_p:
+            resblock(f"refine{i}/resblock1", f"head.refine.{i}.resblock1")
+        resblock(f"refine{i}/resblock2", f"head.refine.{i}.resblock2")
+        _convp(pmap, f"refine{i}/out_conv", f"head.refine.{i}.out_conv",
+               bias=True)
+    _convp(pmap, "head_conv", "head.head.0")
+    _bn(pmap, smap, "head_bn", "head.head.1")
+    _convp(pmap, "head_cls", "head.head.4", bias=True)
+    return pmap, smap, fold
+
+
 def deit_backbone_map(flat_p, flax="encoder", pd="encoder") -> Maps:
     """DeiT (deit.py:225-288): flat ``layers.{i}`` blocks with norm1/norm2
     + attn.{qkv,proj} naming (unlike vit.py's attn_norm/attn.out), a

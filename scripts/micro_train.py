@@ -39,7 +39,7 @@ def main():
 
     model = get_model(cfg)
     rng = jax.random.key(0)
-    bs = 8
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     batch = {
         "image": jnp.asarray(np.random.default_rng(1).uniform(
             -2, 2, (bs, 256, 256, 3)).astype(np.float32)),

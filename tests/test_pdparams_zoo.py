@@ -39,6 +39,9 @@ def _invert_shape(tag: str, flax_shape):
         return (int(np.prod(s[:-1])), s[-1])
     if tag == "conv1x1_dense":
         return (s[1], s[0], 1, 1)
+    if tag == "convt":
+        kh, kw, cin, cout = s
+        return (cin, cout, kh, kw)
     raise ValueError(tag)
 
 
@@ -346,6 +349,120 @@ def test_convert_upernet_swin_and_cswin():
                    "layer_norms.0.weight",
                    "decoder.conv_seg.bias",
                ))
+
+
+def test_convert_fcn():
+    # fcn.py:22-64: paddleseg resnet50c cnn_encoder + conv_1/cls head;
+    # the head conv's bias (bias_attr=True) folds into the BN mean
+    from emrt_tpu.models.fcn import FCN
+    model = FCN(num_classes=4, backbone="resnet50c", output_stride=32)
+    _roundtrip(model, "FCN", "resnet50c", hw=64,
+               expect_samples=(
+                   "cnn_encoder.conv1.0.weight",
+                   "cnn_encoder.conv1.4._variance",
+                   "cnn_encoder.bn1.weight",
+                   "cnn_encoder.layer1.0.downsample.0.weight",
+                   "cnn_encoder.layer1.0.downsample.1._mean",
+                   "cnn_encoder.layer3.5.conv3.weight",
+                   "cnn_encoder.layer4.2.bn3._variance",
+                   "head.conv_1.0.weight",
+                   "head.conv_1.0.bias",
+                   "head.conv_1.1._mean",
+                   "head.cls.bias",
+               ))
+
+
+def test_convert_trans2seg():
+    # trans2seg.py:24-108 + trans2seg_transformer.py:88-421 (bias-free
+    # fused qkv / fc_q / fc_kv, biased proj) + trans2seg_head.py:61-130
+    from emrt_tpu.models.trans2seg import Trans2Seg
+    model = Trans2Seg(num_classes=4, embed_dim=32, depth=2, num_heads=4,
+                      mlp_ratio=3.0, hid_dim=8, output_stride=16)
+    _roundtrip(model, "Trans2Seg", "resnet50c", hw=64,
+               expect_samples=(
+                   "cnn_encoder.conv1.0.weight",
+                   "cnn_encoder.layer3.5.bn3._mean",
+                   "hybrid_embed.proj.weight",
+                   "transformer_encoder.cls_token",
+                   "transformer_encoder.pos_embed",
+                   "transformer_encoder.blocks_encoder.0.attn.qkv.weight",
+                   "transformer_encoder.blocks_encoder.1.attn.proj.bias",
+                   "transformer_encoder.blocks_encoder.0.mlp.fc1.weight",
+                   "transformer_encoder.norm.weight",
+                   "transformer_decoder.cls_embed",
+                   "transformer_decoder.blocks_decoder.0.norm1_clsembed.weight",
+                   "transformer_decoder.blocks_decoder.1.attn.fc_kv.weight",
+                   "transformer_decoder.blocks_decoder.0.norm4.weight",
+                   "transformer_decoder.blocks_decoder.0.mlp3.fc1.weight",
+                   "cnn_head.conv_c1.conv.weight",
+                   "cnn_head.lay1.block.depthwise.weight",
+                   "cnn_head.lay3.block.bn_point._variance",
+                   "cnn_head.pred.bias",
+               ))
+
+
+def test_convert_dpt():
+    # dpt.py:25-41 + dpt_head.py:157-260; refine.3.resblock1 is dead
+    # weight in the checkpoint (top fusion gets x=None) and must be
+    # tolerated as expected-unused
+    from emrt_tpu.models.dpt import DPTSeg
+    model = DPTSeg(num_classes=4, readout="project", patch_size=16,
+                   hidden_size=32, num_layers=4, num_heads=2,
+                   mlp_ratio=2.0, out_indices=(0, 1, 2, 3),
+                   hidden_features=(8, 16, 32, 32), features=8)
+    rng = np.random.default_rng(2)
+    extra = {}
+    for c in ("conv1", "conv2"):
+        extra[f"head.refine.3.resblock1.{c}.weight"] = rng.normal(
+            size=(8, 8, 3, 3)).astype(np.float32)
+    for b in ("bn1", "bn2"):
+        for suf, shape in (("weight", (8,)), ("bias", (8,)),
+                           ("_mean", (8,)), ("_variance", (8,))):
+            extra[f"head.refine.3.resblock1.{b}.{suf}"] = rng.uniform(
+                0.5, 1.0, size=shape).astype(np.float32)
+    _roundtrip(model, "DPT", "ViT", hw=64, extra_pd=extra,
+               expect_samples=(
+                   "backbone.transformer.embeddings.patch_embeddings.weight",
+                   "backbone.transformer.embeddings.cls_token",
+                   "backbone.transformer.encoder.layers.0.attn.qkv.weight",
+                   "head.readout_oper.0.proj.0.weight",
+                   "head.process.0.0.weight",
+                   "head.process.0.1.weight",
+                   "head.process.3.1.weight",
+                   "head.layers_rn.2.weight",
+                   "head.refine.0.resblock1.conv1.weight",
+                   "head.refine.3.resblock2.bn2._variance",
+                   "head.refine.1.out_conv.bias",
+                   "head.head.0.weight",
+                   "head.head.1._mean",
+                   "head.head.4.bias",
+               ))
+
+
+def test_convt_matches_torch():
+    """The 'convt' tag must make flax ConvTranspose reproduce paddle/torch
+    transposed-conv semantics exactly (paddle and torch share the
+    [in, out, kh, kw] layout and convolve rather than correlate)."""
+    import torch
+    import flax.linen as nn
+
+    from emrt_tpu.utils.pdparams import _apply
+
+    rng = np.random.default_rng(0)
+    cin, cout, k, s = 3, 5, 4, 4
+    w_pd = rng.normal(size=(cin, cout, k, k)).astype(np.float32)
+    x = rng.normal(size=(1, cin, 6, 6)).astype(np.float32)
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w_pd), stride=s).numpy()
+
+    mod = nn.ConvTranspose(cout, (k, k), strides=(s, s), padding="VALID",
+                           use_bias=False)
+    v = mod.init(jax.random.key(0), jnp.zeros((1, 6, 6, cin)))
+    kernel = _apply("convt", w_pd, np.asarray(v["params"]["kernel"]))
+    out = mod.apply({"params": {"kernel": jnp.asarray(kernel)}},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_pos_embed_interp_on_convert():
