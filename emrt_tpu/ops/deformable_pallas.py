@@ -497,12 +497,14 @@ def _bwd(spatial_shapes, interpret, residuals, g):
 
 def _bwd_tqs(lq, lv, nh, c, itemsize):
     return (_pick_tq(lq, lv, fixed_bytes=lv * nh * c * 4),
-            # 12 buffers: the grouped y-side finale's [tq, P*h] concat
-            # temporaries add ~1 equivalent [tq, lv] buffer on top of the
-            # 9 measured for the per-point form (tq=224 @ lv=1344 ran
-            # 624KB over the 16M scoped limit inside the train step)
+            # 14 effective buffers: the grouped y-side finale's [tq, P*h]
+            # concat temporaries add ~1 equivalent [tq, lv] buffer over
+            # the 9 of the per-point form, and the measured footprint
+            # creeps with batch (tq=224 ran 624KB over the 16M scoped
+            # limit in the bs16 train step; tq=192 ran 12KB over at
+            # bs32) - 14 pins tq=168 at the lv=1344 train shape
             _pick_tq(lq, lv, fixed_bytes=lv * nh * c * itemsize,
-                     buffers=12))
+                     buffers=14))
 
 
 def _bwd_dispatch(value, spatial_shapes, loc_all, attn_all, g, interpret):
