@@ -17,6 +17,7 @@ bitwise no-op chain can be deduplicated (see the verify skill).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -87,6 +88,7 @@ def main():
         out = fwd(xc)
         return xc * 0.999 + out.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
+    print('bench: whole-tile fwd...', file=sys.stderr)
     dt = _ondevice_time(fwd_step, x)
     infer_ips = infer_bs / dt
 
@@ -104,6 +106,7 @@ def main():
                                  cfg.DATA.NUM_CLASSES, window_batch=32)
         return xc * 0.999 + logits.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
+    print('bench: slide path...', file=sys.stderr)
     dt = _ondevice_time(slide_step, big, iters=4)
     slide_ips = slide_bs * n_windows / dt
 
@@ -130,6 +133,7 @@ def main():
         s2, _ = train_step(s, batch, rng)
         return s2
 
+    print('bench: train step...', file=sys.stderr)
     dt = _ondevice_time(tstep, state)
     train_ips = train_bs / dt
 
@@ -144,6 +148,7 @@ def main():
         out = model.apply(v512, xc, train=False)[0]
         return xc * 0.999 + out.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
+    print('bench: 512^2 fwd...', file=sys.stderr)
     dt = _ondevice_time(fwd512_step, x512, iters=4)
     infer512_ips = big_bs / dt
 

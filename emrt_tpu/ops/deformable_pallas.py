@@ -142,7 +142,7 @@ def _pick_tq(lq, lv, fixed_bytes=0, buffers=7):
     if lq <= budget:
         return _round_up(lq, 8)
     for tq in (512, 448, 384, 336, 256, 224, 192, 168, 160, 128, 112,
-               96, 64, 32):
+               96, 64, 56, 48, 32):
         if tq <= budget and lq % tq == 0:
             return tq
     return min(budget, 512)
@@ -400,9 +400,14 @@ def _warn_fallback(what: str, shapes, lq):
             f"(~8x slower) jnp gather path")
 
 
-def _fwd_tq(lq, lv, nh, c, itemsize):
-    # fixed VMEM: double-buffered value slab + out block
-    return _pick_tq(lq, lv, fixed_bytes=int(2.5 * lv * nh * c * itemsize))
+def _fwd_tq(lq, lv, nh, c, itemsize, n_levels=3):
+    # fixed VMEM: double-buffered value slab + out block. Single-level
+    # calls (the level-partitioned 512^2 path) need a higher buffer
+    # estimate: every per-point temporary is full [tq, lv] with no small
+    # levels averaging the footprint down (measured: lv=1024 tq=448 ran
+    # 1.95M over the 16M scoped limit where the estimate said 14.1M)
+    return _pick_tq(lq, lv, fixed_bytes=int(2.5 * lv * nh * c * itemsize),
+                    buffers=7 if n_levels > 1 else 9)
 
 
 def _fwd(value, spatial_shapes, loc_all, attn_all, interpret=False):
@@ -425,9 +430,9 @@ def _fwd_dispatch(value, spatial_shapes, loc_all, attn_all, interpret):
     n_levels, n_points = loc_all.shape[3], loc_all.shape[4]
     assert lv == sum(h * w for h, w in spatial_shapes)
 
-    tq = _fwd_tq(lq, lv, nh, c, value.dtype.itemsize)
+    tq = _fwd_tq(lq, lv, nh, c, value.dtype.itemsize, n_levels)
     if tq < 128 and n_levels > 1:
-        per_l = [_fwd_tq(lq, h * w, nh, c, value.dtype.itemsize)
+        per_l = [_fwd_tq(lq, h * w, nh, c, value.dtype.itemsize, 1)
                  for h, w in spatial_shapes]
         # partition when every level gets a bigger tile, or when the joint
         # call can't run at all but at least one level can (the oversize
@@ -495,8 +500,12 @@ def _bwd(spatial_shapes, interpret, residuals, g):
                          g, interpret)
 
 
-def _bwd_tqs(lq, lv, nh, c, itemsize):
-    return (_pick_tq(lq, lv, fixed_bytes=lv * nh * c * 4),
+def _bwd_tqs(lq, lv, nh, c, itemsize, n_levels=3):
+    # single-level calls get higher estimates for the same reason as
+    # _fwd_tq: every temporary is full [tq, lv] width
+    multi = n_levels > 1
+    return (_pick_tq(lq, lv, fixed_bytes=lv * nh * c * 4,
+                     buffers=7 if multi else 9),
             # 14 effective buffers: the grouped y-side finale's [tq, P*h]
             # concat temporaries add ~1 equivalent [tq, lv] buffer over
             # the 9 of the per-point form, and the measured footprint
@@ -504,7 +513,7 @@ def _bwd_tqs(lq, lv, nh, c, itemsize):
             # limit in the bs16 train step; tq=192 ran 12KB over at
             # bs32) - 14 pins tq=168 at the lv=1344 train shape
             _pick_tq(lq, lv, fixed_bytes=lv * nh * c * itemsize,
-                     buffers=14))
+                     buffers=14 if multi else 16))
 
 
 def _bwd_dispatch(value, spatial_shapes, loc_all, attn_all, g, interpret):
@@ -512,11 +521,11 @@ def _bwd_dispatch(value, spatial_shapes, loc_all, attn_all, g, interpret):
     lq = loc_all.shape[1]
     n_levels, n_points = loc_all.shape[3], loc_all.shape[4]
 
-    tq_gv, tq_gla = _bwd_tqs(lq, lv, nh, c, value.dtype.itemsize)
+    tq_gv, tq_gla = _bwd_tqs(lq, lv, nh, c, value.dtype.itemsize, n_levels)
     if min(tq_gv, tq_gla) < 128 and n_levels > 1:
         # level partition (see _fwd): gv rows, g_loc/g_attn level slices
         # are disjoint across levels, so per-level calls are exact
-        per_l = [min(_bwd_tqs(lq, h * w, nh, c, value.dtype.itemsize))
+        per_l = [min(_bwd_tqs(lq, h * w, nh, c, value.dtype.itemsize, 1))
                  for h, w in spatial_shapes]
         if (min(per_l) > min(tq_gv, tq_gla)
                 or (min(tq_gv, tq_gla) == 0 and max(per_l) > 0)):

@@ -98,12 +98,14 @@ def test_level_partitioned_path_exact(problem, monkeypatch):
     real_fwd_tq, real_bwd_tqs = dp._fwd_tq, dp._bwd_tqs
     lv_joint = sum(h * w for h, w in shapes)
 
-    def fake_fwd_tq(lq, lv, nh, c, itemsize):
-        return 8 if lv == lv_joint else real_fwd_tq(lq, lv, nh, c, itemsize)
+    def fake_fwd_tq(lq, lv, nh, c, itemsize, n_levels=3):
+        return 8 if lv == lv_joint else real_fwd_tq(lq, lv, nh, c,
+                                                    itemsize, n_levels)
 
-    def fake_bwd_tqs(lq, lv, nh, c, itemsize):
+    def fake_bwd_tqs(lq, lv, nh, c, itemsize, n_levels=3):
         return (8, 8) if lv == lv_joint else real_bwd_tqs(lq, lv, nh, c,
-                                                          itemsize)
+                                                          itemsize,
+                                                          n_levels)
 
     def loss(v, l, a):
         return jnp.sum(deformable_attention_pallas(v, shapes, l, a, True) ** 2)
