@@ -125,3 +125,31 @@ def test_level_partitioned_path_exact(problem, monkeypatch):
         np.testing.assert_allclose(np.asarray(b) / scale,
                                    np.asarray(a) / scale,
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_512_shapes_stay_on_pallas_within_vmem():
+    """Regression for the round-3 bench crash: at the 512^2 EMRT shapes
+    (lq=lv=5376, levels 64^2/32^2/16^2, P=6) the dispatch must (a) take
+    the level-partitioned path, not the jnp fallback, and (b) pick
+    per-level tiles whose single-level VMEM estimate stays under the
+    16MB scoped limit (lv=1024 at tq=448 measured 17.95M and crashed
+    the compile helper)."""
+    from emrt_tpu.ops import deformable_pallas as dp
+
+    shapes = ((64, 64), (32, 32), (16, 16))
+    lq = lv = sum(h * w for h, w in shapes)
+    nh, c, P = 8, 32, 6
+
+    joint = dp._fwd_tq(lq, lv, nh, c, 2, len(shapes))
+    per_l = [dp._fwd_tq(lq, h * w, nh, c, 2, 1) for h, w in shapes]
+    # partition must trigger (joint tile tiny or zero, per-level viable)
+    assert joint < 128 and min(per_l) > joint
+    for (h, w), tq in zip(shapes, per_l):
+        est = 9 * 4 * h * w * tq + int(2.5 * h * w * nh * c * 2)
+        assert 0 < est < 15.0e6, ((h, w), tq, est)
+    for (h, w) in shapes:
+        tq_gv, tq_gla = dp._bwd_tqs(lq, h * w, nh, c, 2, 1)
+        assert tq_gv > 0 and tq_gla > 0
+        gv_est = 9 * 4 * h * w * tq_gv + h * w * nh * c * 4
+        gla_est = 16 * 4 * h * w * tq_gla + h * w * nh * c * 2
+        assert gv_est < 15.0e6 and gla_est < 15.0e6, ((h, w), tq_gv, tq_gla)
