@@ -19,6 +19,12 @@ class UperNet(nn.Module):
     num_heads: tuple = (3, 6, 12, 24)
     window_size: int = 7
     split_sizes: tuple | None = None      # CSwin
+    expand_sizes: tuple | None = None     # Focal
+    focal_levels: tuple | None = None
+    focal_windows: tuple | None = None
+    focal_stages: tuple | None = None
+    use_conv_embed: bool = False
+    qkv_bias: bool = True
     mlp_ratio: float = 4.0
     pool_scales: tuple = (1, 2, 3, 6)
     uper_channels: int = 512
@@ -48,8 +54,8 @@ class UperNet(nn.Module):
                 mlp_ratio=self.mlp_ratio, drop_path_rate=self.drop_path,
                 dtype=self.dtype, name="encoder")(x, train)
             # the reference norms every backbone output before the head
-            # (upernet.py:60-63, 97-99); Swin/Focal do this inside our
-            # backbone (norm{s}) but CSwin feeds raw stage features
+            # (upernet.py:60-63, 97-99); Swin does this inside our backbone
+            # (norm{s}) but CSwin/Focal feed raw stage features
             feats = [nn.LayerNorm(dtype=jnp.float32,
                                   name=f"layer_norm{i}")(f).astype(self.dtype)
                      for i, f in enumerate(feats)]
@@ -58,8 +64,18 @@ class UperNet(nn.Module):
             feats = FocalTransformer(
                 embed_dim=self.embed_dim, depths=self.depths,
                 num_heads=self.num_heads, window_size=self.window_size,
-                mlp_ratio=self.mlp_ratio, drop_path_rate=self.drop_path,
+                expand_sizes=self.expand_sizes or (3, 3, 3, 3),
+                focal_levels=self.focal_levels or (2, 2, 2, 2),
+                focal_windows=self.focal_windows or (7, 5, 3, 1),
+                focal_stages=self.focal_stages or (0, 1, 2, 3),
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                use_conv_embed=self.use_conv_embed, dropout=self.dropout,
+                attn_dropout=self.attn_dropout,
+                drop_path_rate=self.drop_path,
                 dtype=self.dtype, name="encoder")(x, train)
+            feats = [nn.LayerNorm(dtype=jnp.float32,
+                                  name=f"layer_norm{i}")(f).astype(self.dtype)
+                     for i, f in enumerate(feats)]
         else:
             raise NotImplementedError(self.encoder_type)
 
@@ -85,6 +101,13 @@ def build_upernet(config, dtype=jnp.float32) -> UperNet:
         num_heads=tuple(trans.NUM_HEADS or (3, 6, 12, 24)),
         window_size=trans.WINDOW_SIZE or 7,
         split_sizes=tuple(trans.SPLIT_SIZES) if trans.SPLIT_SIZES else None,
+        expand_sizes=tuple(trans.EXPAND_SIZES) if trans.EXPAND_SIZES else None,
+        focal_levels=tuple(trans.FOCAL_LEVELS) if trans.FOCAL_LEVELS else None,
+        focal_windows=(tuple(trans.FOCAL_WINDOWS)
+                       if trans.FOCAL_WINDOWS else None),
+        focal_stages=tuple(trans.FOCAL_STAGES) if trans.FOCAL_STAGES else None,
+        use_conv_embed=bool(trans.USE_CONV_EMBED),
+        qkv_bias=bool(trans.QKV_BIAS),
         mlp_ratio=trans.MLP_RATIO or 4.0,
         pool_scales=tuple(config.MODEL.UPERHEAD.POOL_SCALES),
         uper_channels=config.MODEL.UPERHEAD.CHANNELS,

@@ -47,11 +47,24 @@ def tp_rule(path, leaf):
     else stays replicated (the reference's only strategy was pure DP,
     train.py:116-123)."""
     keys = "/".join(str(getattr(k, "key", k)) for k in path)
-    if getattr(leaf, "ndim", 0) == 2 and "kernel" in keys:
-        if "linear1" in keys or "value_proj" in keys:
-            return P(None, "model")
-        if "linear2" in keys or "output_proj" in keys:
-            return P("model", None)
+    ndim = getattr(leaf, "ndim", 0)
+    if "kernel" in keys:
+        if ndim == 2:
+            if "linear1" in keys or "value_proj" in keys:
+                return P(None, "model")
+            if "linear2" in keys or "output_proj" in keys:
+                return P("model", None)
+        # MHA DenseGeneral kernels: q/k/v [embed, heads, hd] shard heads;
+        # out_proj [heads, hd, embed] row-shards the same axis, so the
+        # whole attention body runs head-parallel with one all-reduce
+        if ndim == 3:
+            if ("q_proj" in keys or "k_proj" in keys or "v_proj" in keys):
+                return P(None, "model", None)
+            if "out_proj" in keys:
+                return P("model", None, None)
+    if ndim == 2 and "bias" in keys and ("q_proj" in keys or "k_proj" in keys
+                                         or "v_proj" in keys):
+        return P("model", None)       # DenseGeneral bias [heads, hd]
     return P()
 
 

@@ -348,6 +348,51 @@ def swin_backbone_map(flat_p, flax="encoder", pd="encoder") -> Maps:
     return pmap, smap, fold
 
 
+def focal_backbone_map(flat_p, flax="encoder", pd="encoder") -> Maps:
+    """FocalTransformer (focal_transformer.py:819-1000): patch_embed
+    conv+norm PatchEmbed, layers.{s}.blocks.{b} with fused-qkv focal
+    WindowAttention (three bias-table families + fc pool_layers), and a
+    conv PatchEmbed ``layers.{s}.downsample``. Our parameters correspond
+    1:1 (all index/mask tables are constants on both sides)."""
+    pmap, smap, fold = _mk()
+    _convp(pmap, f"{flax}/patch_embed/proj", f"{pd}.patch_embed.proj",
+           bias=True)
+    _ln(pmap, f"{flax}/patch_embed/norm", f"{pd}.patch_embed.norm")
+    blocks = _stage_blocks(flat_p, rf"{flax}/stage(\d+)_block(\d+)/norm1/scale")
+    n_stages = max(s for s, _ in blocks) + 1 if blocks else 0
+    for s, b in blocks:
+        fl = f"{flax}/stage{s}_block{b}"
+        pdb = f"{pd}.layers.{s}.blocks.{b}"
+        _ln(pmap, f"{fl}/norm1", f"{pdb}.norm1")
+        _ln(pmap, f"{fl}/norm2", f"{pdb}.norm2")
+        k = 0
+        while f"{fl}/pool_layers{k}/kernel" in flat_p:
+            _dense(pmap, f"{fl}/pool_layers{k}", f"{pdb}.pool_layers.{k}")
+            k += 1
+        _dense(pmap, f"{fl}/attn/qkv", f"{pdb}.attn.qkv")
+        _dense(pmap, f"{fl}/attn/proj", f"{pdb}.attn.proj")
+        pmap[f"{fl}/attn/relative_position_bias_table"] = (
+            f"{pdb}.attn.relative_position_bias_table", "id")
+        if f"{fl}/attn/relative_position_bias_table_to_neighbors" in flat_p:
+            pmap[f"{fl}/attn/relative_position_bias_table_to_neighbors"] = (
+                f"{pdb}.attn.relative_position_bias_table_to_neighbors", "id")
+        k = 0
+        while (f"{fl}/attn/relative_position_bias_table_to_windows{k}"
+               in flat_p):
+            pmap[f"{fl}/attn/relative_position_bias_table_to_windows{k}"] = (
+                f"{pdb}.attn.relative_position_bias_table_to_windows.{k}",
+                "id")
+            k += 1
+        _dense(pmap, f"{fl}/mlp/Dense_0", f"{pdb}.mlp.fc1")
+        _dense(pmap, f"{fl}/mlp/Dense_1", f"{pdb}.mlp.fc2")
+    for s in range(max(n_stages - 1, 0)):
+        _convp(pmap, f"{flax}/downsample{s}/proj",
+               f"{pd}.layers.{s}.downsample.proj", bias=True)
+        _ln(pmap, f"{flax}/downsample{s}/norm",
+            f"{pd}.layers.{s}.downsample.norm")
+    return pmap, smap, fold
+
+
 def _uper_head_map(pmap, smap, flat_p, flax="decoder", pd="decoder"):
     """UperHead (decoders/uper_head.py:29-69 + psp_head.py:30-44):
     psp branches (Sequential: pool/conv/bn), bottleneck, lateral_convs,
@@ -387,11 +432,18 @@ def _fcn_head_map(pmap, smap, flat_p, flax="aux_decoder", pd="aux_decoder"):
 
 
 def upernet_key_map(flat_p) -> Maps:
-    """UperNet (upernet.py:41-106): Swin or CSwin encoder + top-level
-    layer_norms + UperHead decoder + FCNHead aux. (Focal is excluded: our
-    backbone is a documented TPU-idiomatic re-design whose parameters do
-    not correspond 1:1 to the reference's Unfold-based layout.)"""
-    if any(k.startswith("encoder/stage0_block0/attn/qkv") for k in flat_p):
+    """UperNet (upernet.py:41-106): Swin, CSwin, or Focal encoder +
+    top-level layer_norms + UperHead decoder + FCNHead aux."""
+    if any(k.endswith("relative_position_bias_table_to_neighbors")
+           or "relative_position_bias_table_to_windows" in k
+           for k in flat_p):
+        pmap, smap, fold = focal_backbone_map(flat_p, flax="encoder",
+                                              pd="encoder")
+        s = 0
+        while f"layer_norm{s}/scale" in flat_p:
+            _ln(pmap, f"layer_norm{s}", f"layer_norms.{s}")
+            s += 1
+    elif any(k.startswith("encoder/stage0_block0/attn/qkv") for k in flat_p):
         pmap, smap, fold = swin_backbone_map(flat_p, flax="encoder",
                                              pd="encoder")
         # our swin's per-out-stage norms ARE the reference's layer_norms

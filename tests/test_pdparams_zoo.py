@@ -351,6 +351,35 @@ def test_convert_upernet_swin_and_cswin():
                ))
 
 
+def test_convert_upernet_focal():
+    # focal_transformer.py:87-191 (qkv, three bias-table families,
+    # pool_layers) + :739-816 (conv PatchEmbed stem/downsample) +
+    # upernet.py:60-78 (layer_norms, decoder, aux_decoder)
+    from emrt_tpu.models.upernet import UperNet
+    focal = UperNet(num_classes=4, encoder_type="FocalTransformer",
+                    embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+                    window_size=4, expand_sizes=(1, 1, 1, 1),
+                    use_conv_embed=True, uper_channels=16, aux_channels=8)
+    _roundtrip(focal, "UperNet_Focal", "FocalTransformer", hw=64,
+               expect_samples=(
+                   "encoder.patch_embed.proj.weight",
+                   "encoder.patch_embed.norm.weight",
+                   "encoder.layers.0.blocks.0.attn.qkv.weight",
+                   "encoder.layers.0.blocks.0.attn."
+                   "relative_position_bias_table",
+                   "encoder.layers.0.blocks.0.attn."
+                   "relative_position_bias_table_to_neighbors",
+                   "encoder.layers.0.blocks.0.attn."
+                   "relative_position_bias_table_to_windows.0",
+                   "encoder.layers.0.blocks.0.pool_layers.0.weight",
+                   "encoder.layers.0.downsample.proj.weight",
+                   "encoder.layers.0.downsample.norm.weight",
+                   "layer_norms.3.weight",
+                   "decoder.conv_seg.bias",
+                   "aux_decoder.conv_seg.weight",
+               ))
+
+
 def test_convert_fcn():
     # fcn.py:22-64: paddleseg resnet50c cnn_encoder + conv_1/cls head;
     # the head conv's bias (bias_attr=True) folds into the BN mean

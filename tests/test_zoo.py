@@ -215,6 +215,13 @@ def _zoo_family(name):
                        embed_dim=16, depths=(1, 1, 1, 1),
                        num_heads=(1, 2, 4, 8), window_size=4,
                        uper_channels=32, aux_channels=16)
+    if name == "upernet_focal":
+        from emrt_tpu.models.upernet import UperNet
+        return UperNet(num_classes=4, encoder_type="FocalTransformer",
+                       embed_dim=16, depths=(1, 1, 1, 1),
+                       num_heads=(1, 2, 4, 8), window_size=4,
+                       expand_sizes=(1, 1, 1, 1), use_conv_embed=True,
+                       uper_channels=32, aux_channels=16)
     if name == "segformer":
         from emrt_tpu.models.segformer import Segformer
         return Segformer(num_classes=4, embed_dims=(8, 16, 32, 64),
@@ -276,7 +283,8 @@ def _one_train_step(model, steps=1):
     return variables["params"], state.params, losses
 
 
-@pytest.mark.parametrize("family", ["setr_mla", "upernet_swin", "segformer",
+@pytest.mark.parametrize("family", ["setr_mla", "upernet_swin",
+                                    "upernet_focal", "segformer",
                                     "segmenter", "dpt", "trans2seg", "fcn"])
 def test_zoo_family_train_step(family):
     model = _zoo_family(family)
