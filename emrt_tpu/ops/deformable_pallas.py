@@ -246,34 +246,42 @@ def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
         col_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) % w
                  ).astype(jnp.float32)
         if bf16:
-            # grouped y-side finale: the P points of one (head, level)
-            # share lane-groups of width h, so rowh4 is P copies of the
-            # row index, `spread` broadcasts each point's scalar y into
-            # its group, and `ones_b` sums each group back to one lane —
-            # this replaces 3*P cross-lane reductions per (head, level)
-            # with 3 tiny block-ones matmuls (the per-point [tq, h]
-            # lane-sums were ~35% of this kernel's runtime)
+            # grouped y-side finale, OUTPUT-TRANSPOSED: every reduction /
+            # one-hot matmul emits [*, tq] so the MXU's lane (N) dimension
+            # carries tq (~168) instead of h (<=32) — the untransposed
+            # reduces wasted 3/4 of the output lanes, and the per-point
+            # [tq, hw] @ [hw, h] form streams tq rows against a 1-tile-N
+            # array while [h_rows x tq_lanes] streams only h rows.
+            # rowh4T is P sublane-stacked copies of the row index,
+            # `spread_t` broadcasts each point's y row into its group,
+            # `ones_bt` sums each group back to one sublane.
             kk_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 0)
             hh_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 1)
             reduce_t = (kk_t // w == hh_t).astype(jnp.bfloat16)
-            rowh4 = (jax.lax.broadcasted_iota(jnp.int32, (tq, P * h), 1) % h
-                     ).astype(jnp.float32)
-            jj4 = jax.lax.broadcasted_iota(jnp.int32, (P, P * h), 1)
-            pp4 = jax.lax.broadcasted_iota(jnp.int32, (P, P * h), 0)
-            spread = (jj4 // h == pp4).astype(jnp.float32)
-            ones_b = spread.T
-            tables.append((col_t, reduce_t, rowh4, spread, ones_b))
+            rowh4t = (jax.lax.broadcasted_iota(jnp.int32, (P * h, tq), 0) % h
+                      ).astype(jnp.float32)
+            ph4 = jax.lax.broadcasted_iota(jnp.int32, (P * h, P), 0)
+            pp4 = jax.lax.broadcasted_iota(jnp.int32, (P * h, P), 1)
+            spread_t = (ph4 // h == pp4).astype(jnp.float32)
+            ones_bt = spread_t.T
+            tables.append((col_t, reduce_t, rowh4t, spread_t, ones_bt))
         else:
             row_t = (jax.lax.broadcasted_iota(jnp.int32, (tq, hw), 1) // w
                      ).astype(jnp.float32)
             tables.append((col_t, row_t))
     if bf16:
         # x/y lane interleave for the gloc store (Mosaic has no
-        # [tq, P, 2] -> [tq, 2P] shape cast; one-hot matmuls are exact)
+        # [tq, P, 2] -> [tq, 2P] shape cast; one-hot matmuls are exact);
+        # contracted against the transposed [P, tq] finale outputs these
+        # double as the transpose back to store layout. eye_p transposes
+        # [tq, P] <-> [P, tq] the same way.
         jj2 = jax.lax.broadcasted_iota(jnp.int32, (P, 2 * P), 1)
         pp2 = jax.lax.broadcasted_iota(jnp.int32, (P, 2 * P), 0)
         ileave_x = (jj2 == 2 * pp2).astype(jnp.float32)
         ileave_y = (jj2 == 2 * pp2 + 1).astype(jnp.float32)
+        eye_p = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+                 ).astype(jnp.float32)
 
     for hd in range(n_heads):
         g = g_ref[0, :, hd * c:(hd + 1) * c]
@@ -294,7 +302,7 @@ def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
             gm = gm_scr[:, off:off + hw]
             j0 = (hd * n_levels + l) * n_points
             if bf16:
-                col_t, reduce_t, rowh4, spread, ones_b = tables[l]
+                col_t, reduce_t, rowh4t, spread_t, ones_bt = tables[l]
                 urs, trs = [], []
                 for p in range(n_points):
                     jj = j0 + p
@@ -304,47 +312,57 @@ def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
                     dwx = jnp.where(wx > 0.0, jnp.sign(dxs), 0.0)
                     u = (gm * wx).astype(jnp.bfloat16)
                     t = (gm * dwx).astype(jnp.bfloat16)
-                    urs.append(jnp.dot(u, reduce_t,
-                                       preferred_element_type=jnp.float32))
-                    trs.append(jnp.dot(t, reduce_t,
-                                       preferred_element_type=jnp.float32))
-                u4 = jnp.concatenate(urs, axis=1)            # [tq, P*h]
-                t4 = jnp.concatenate(trs, axis=1)
-                # per-point y broadcast into its lane group (exact: the
+                    # output-transposed reduce: [h, tq], N = tq lanes
+                    urs.append(jax.lax.dot_general(
+                        reduce_t, u, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                    trs.append(jax.lax.dot_general(
+                        reduce_t, t, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                u4t = jnp.concatenate(urs, axis=0)           # [P*h, tq]
+                t4t = jnp.concatenate(trs, axis=0)
+                # per-point y broadcast into its sublane group (exact: the
                 # spread matrix is one-hot and runs at HIGHEST precision
                 # — bf16-rounded positions corrupt hat boundaries)
                 ys = jnp.concatenate(
                     [loc_ref[0, :, 2 * (j0 + p) + 1:2 * (j0 + p) + 2]
                      for p in range(n_points)], axis=1)      # [tq, P]
-                y4 = jax.lax.dot_general(
-                    ys, spread, (((1,), (0,)), ((), ())),
+                y4t = jax.lax.dot_general(
+                    spread_t, ys, (((1,), (1,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32) * h - 0.5
-                dys4 = rowh4 - y4
-                wy4 = jnp.maximum(0.0, 1.0 - jnp.abs(dys4))
-                dwy4 = jnp.where(wy4 > 0.0, jnp.sign(dys4), 0.0)
+                dys4t = rowh4t - y4t
+                wy4t = jnp.maximum(0.0, 1.0 - jnp.abs(dys4t))
+                dwy4t = jnp.where(wy4t > 0.0, jnp.sign(dys4t), 0.0)
 
-                def segsum(x):                               # [tq, P]
+                def segsum_t(x):                             # [P, tq]
                     return jax.lax.dot_general(
-                        x, ones_b, (((1,), (0,)), ((), ())),
+                        ones_bt, x, (((1,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
 
-                ga4 = segsum(u4 * wy4)
-                gx4 = segsum(t4 * wy4)
-                gy4 = segsum(u4 * dwy4)
+                ga4t = segsum_t(u4t * wy4t)
+                gx4t = segsum_t(t4t * wy4t)
+                gy4t = segsum_t(u4t * dwy4t)
                 a4 = attn_ref[0, :, j0:j0 + n_points].astype(jnp.float32)
+                a4t = jax.lax.dot_general(                   # [P, tq]
+                    eye_p, a4, (((0,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
 
-                def ileave(x, m):
+                def t_store(x, m):
+                    """[P, tq] x one-hot [P, n] -> [tq, n]: interleave /
+                    identity and the transpose back to store layout in
+                    one exact matmul."""
                     return jax.lax.dot_general(
-                        x, m, (((1,), (0,)), ((), ())),
+                        x, m, (((0,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
 
-                gl4 = (ileave(a4 * (w * gx4), ileave_x)
-                       + ileave(a4 * (h * gy4), ileave_y))
-                gattn_ref[0, :, j0:j0 + n_points] = ga4.astype(
-                    gattn_ref.dtype)
+                gl4 = (t_store(a4t * (w * gx4t), ileave_x)
+                       + t_store(a4t * (h * gy4t), ileave_y))
+                gattn_ref[0, :, j0:j0 + n_points] = t_store(
+                    ga4t, eye_p).astype(gattn_ref.dtype)
                 gloc_ref[0, :, 2 * j0:2 * (j0 + n_points)] = gl4.astype(
                     gloc_ref.dtype)
             else:
