@@ -255,9 +255,9 @@ def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
             # rowh4T is P sublane-stacked copies of the row index,
             # `spread_t` broadcasts each point's y row into its group,
             # `ones_bt` sums each group back to one sublane.
-            kk_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 0)
-            hh_t = jax.lax.broadcasted_iota(jnp.int32, (hw, h), 1)
-            reduce_t = (kk_t // w == hh_t).astype(jnp.bfloat16)
+            kk_t = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 1)
+            hh_t = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 0)
+            reduce_t = (kk_t // w == hh_t).astype(jnp.bfloat16)  # [h, hw]
             rowh4t = (jax.lax.broadcasted_iota(jnp.int32, (P * h, tq), 0) % h
                       ).astype(jnp.float32)
             ph4 = jax.lax.broadcasted_iota(jnp.int32, (P * h, P), 0)
@@ -313,11 +313,13 @@ def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
                     u = (gm * wx).astype(jnp.bfloat16)
                     t = (gm * dwx).astype(jnp.bfloat16)
                     # output-transposed reduce: [h, tq], N = tq lanes
+                    # (contract B's lanes, the same orientation as the
+                    # shipping gm matmul)
                     urs.append(jax.lax.dot_general(
-                        reduce_t, u, (((0,), (1,)), ((), ())),
+                        reduce_t, u, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32))
                     trs.append(jax.lax.dot_general(
-                        reduce_t, t, (((0,), (1,)), ((), ())),
+                        reduce_t, t, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32))
                 u4t = jnp.concatenate(urs, axis=0)           # [P*h, tq]
                 t4t = jnp.concatenate(trs, axis=0)
@@ -346,7 +348,7 @@ def _bwd_gla_kernel(loc_ref, attn_ref, v_ref, g_ref, gloc_ref, gattn_ref,
                 gy4t = segsum_t(u4t * dwy4t)
                 a4 = attn_ref[0, :, j0:j0 + n_points].astype(jnp.float32)
                 a4t = jax.lax.dot_general(                   # [P, tq]
-                    eye_p, a4, (((0,), (1,)), ((), ())),
+                    eye_p, a4, (((1,), (1,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
 

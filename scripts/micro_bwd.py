@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Time the deformable fwd / gv / gla pallas kernels separately at the
-train shape (bs, lq=lv=1344, nh=8, c=32, L=3, P=4, bf16 values)."""
+train shape (bs, lq=lv=1344, nh=8, c=32, L=3, P=6 like EMRT, bf16 values)."""
 from __future__ import annotations
 
 import functools
@@ -43,9 +43,9 @@ def time_loop(step, init, name):
     return best
 
 
-def main(bs=8):
+def main(bs=8, P=6):
     r = np.random.default_rng(0)
-    nh, c, L, P = 8, 32, 3, 4
+    nh, c, L = 8, 32, 3
     lq = LV
     value = jnp.asarray(r.standard_normal((bs, LV, nh, c)), jnp.bfloat16)
     loc = jnp.asarray(r.uniform(0, 1, (bs, lq, nh, L, P, 2)), jnp.float32)
@@ -156,4 +156,5 @@ def main(bs=8):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 6)
