@@ -157,7 +157,8 @@ def _bwd_gv_kernel(loc_ref, attn_ref, g_ref, gv_ref, m_scr,
     head-per-cell layout) and accumulates gv across the query-tile grid
     dim:
       loc_ref  [1, tq, nh*L*P*2]; attn_ref [1, tq, nh*L*P];
-      g_ref    [1, tq, nh*c];     gv_ref [1, lv, nh*c] f32 (accumulated);
+      g_ref    [1, tq, nh*c];     gv_ref [1, nh*c, lv] f32 (accumulated,
+      head-then-lv layout so lv rides the MXU lanes);
       m_scr    [tq, lv] f32, rebuilt per head.
     Holding only ONE [tq, lv] scratch (no value slab, no gm) is what lets
     tq reach 448 at the encoder shape — the round-2 single-kernel
@@ -211,13 +212,15 @@ def _bwd_gv_kernel(loc_ref, attn_ref, g_ref, gv_ref, m_scr,
                     m_scr[:, off:off + hw] += plane
             off += hw
         g = g_ref[0, :, hd * c:(hd + 1) * c]
+        # output-transposed accumulate: [c, lv] puts lv (not c=32) in the
+        # MXU's lane dimension; the host view transposes back for free
         if bf16:
-            gv_ref[0, :, hd * c:(hd + 1) * c] += jax.lax.dot_general(
-                m_scr[:].astype(jnp.bfloat16), g, (((0,), (0,)), ((), ())),
+            gv_ref[0, hd * c:(hd + 1) * c, :] += jax.lax.dot_general(
+                g, m_scr[:].astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
-            gv_ref[0, :, hd * c:(hd + 1) * c] += jax.lax.dot_general(
-                m_scr[:], g.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            gv_ref[0, hd * c:(hd + 1) * c, :] += jax.lax.dot_general(
+                g.astype(jnp.float32), m_scr[:], (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
 
@@ -592,9 +595,9 @@ def _bwd_dispatch(value, spatial_shapes, loc_all, attn_all, g, interpret):
             pl.BlockSpec((1, tq_gv, nh * c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, lv, nh * c), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nh * c, lv), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bs, lv, nh * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bs, nh * c, lv), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tq_gv, lv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -632,7 +635,8 @@ def _bwd_dispatch(value, spatial_shapes, loc_all, attn_all, g, interpret):
         interpret=interpret,
     )(padded(loc2, tq_gla), padded(attn2, tq_gla), v2, padded(g2, tq_gla))
 
-    gvalue = gv.reshape(bs, lv, nh, c).astype(value.dtype)
+    gvalue = gv.reshape(bs, nh, c, lv).transpose(0, 3, 1, 2
+                                                 ).astype(value.dtype)
     gloc = gloc2[:, :lq].reshape(
         bs, lq, nh, n_levels, n_points, 2).astype(loc_all.dtype)
     gattn = gattn2[:, :lq].reshape(

@@ -93,9 +93,9 @@ def main(bs=8, P=6):
                 pl.BlockSpec((1, tq_gv, nh * c), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, LV, nh * c), lambda i, j: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, nh * c, LV), lambda i, j: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bs, LV, nh * c), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((bs, nh * c, LV), jnp.float32),
             scratch_shapes=[pltpu.VMEM((tq_gv, LV), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
@@ -104,7 +104,7 @@ def main(bs=8, P=6):
     def gv_step(carry):
         v, l, a, gg = carry
         gv = gv_only(v, l, a, gg)
-        return (v * jnp.bfloat16(0.999) + gv.reshape(bs, LV, nh, c).astype(v.dtype) * jnp.bfloat16(0.01),
+        return (v * jnp.bfloat16(0.999) + gv.reshape(bs, nh, c, LV).transpose(0, 3, 1, 2).astype(v.dtype) * jnp.bfloat16(0.01),
                 l, a, gg)
 
     time_loop(gv_step, (value, loc, attn, g), "gv kernel alone")
