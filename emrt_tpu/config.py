@@ -315,6 +315,7 @@ _C.LOCAL_RANK = 0
 _C.PARALLEL = CfgNode()
 _C.PARALLEL.DATA = -1            # data-parallel axis size
 _C.PARALLEL.MODEL = 1            # tensor/model axis size (for large backbones)
+_C.PARALLEL.SPATIAL = 1          # spatial axis size (shard image H for big crops)
 
 
 def _update_config_from_file(config: CfgNode, cfg_file: str) -> None:

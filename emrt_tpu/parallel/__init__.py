@@ -1,2 +1,2 @@
 from .mesh import (batch_sharding, create_mesh, replicated, shard_batch,
-                   tp_rule, tp_shard_params)
+                   spatial_batch_sharding, tp_rule, tp_shard_params)

@@ -15,19 +15,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+def create_mesh(data: int = -1, model: int = 1, spatial: int = 1,
+                devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, ("data", "model"))
+        data = n // (model * spatial)
+    assert data * model * spatial == n, \
+        f"mesh {data}x{model}x{spatial} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model, spatial)
+    return Mesh(dev_array, ("data", "model", "spatial"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard batch over 'data' AND image height over 'spatial'.
+
+    Spatial partitioning for large rasters: NHWC images (and BHW labels)
+    split their H axis across the 'spatial' mesh axis; GSPMD propagates
+    the sharding through the conv stacks with halo exchanges and inserts
+    gathers/reductions where the transformer needs full token sets. The
+    reference has no analog (single-GPU Paddle); this is the TPU-native
+    route to training/evaluating crops that exceed one chip's HBM."""
+    return NamedSharding(mesh, P("data", "spatial"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

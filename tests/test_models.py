@@ -175,3 +175,20 @@ def test_tensor_parallel_train_step():
     # the FFN up-projection really is sharded over the model axis
     k = state_tp.params["encoder_decoder"]["encoder_layer0"]["linear1"]["kernel"]
     assert k.sharding.spec == P(None, "model")
+
+    # PARALLEL.SPATIAL=2: image H sharded over 'spatial' (GSPMD conv halo
+    # exchange path) — same step, same loss as the replicated run
+    from emrt_tpu.parallel import spatial_batch_sharding
+    mesh_sp = create_mesh(data=4, model=1, spatial=2)
+    params_sp = jax.device_put(variables["params"], replicated(mesh_sp))
+    tx = get_optimizer(cfg, schedule, params=params_sp)
+    state_sp = TrainState(step=jnp.zeros((), jnp.int32), params=params_sp,
+                          batch_stats=jax.device_put(
+                              variables.get("batch_stats", {}),
+                              replicated(mesh_sp)),
+                          opt_state=tx.init(params_sp), tx=tx)
+    b_sp = jax.device_put(batch, spatial_batch_sharding(mesh_sp))
+    assert b_sp["image"].sharding.spec == P("data", "spatial")
+    step = make_train_step(model, loss_fn, donate=False)
+    _, metrics_sp = step(state_sp, b_sp, jax.random.key(1))
+    assert abs(float(metrics_sp["loss"]) - loss_dp) < 2e-2

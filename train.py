@@ -53,10 +53,12 @@ def main():
     np.random.seed(config.SEED)
     rng = jax.random.key(config.SEED)
 
-    mesh = create_mesh(config.PARALLEL.DATA, config.PARALLEL.MODEL)
+    mesh = create_mesh(config.PARALLEL.DATA, config.PARALLEL.MODEL,
+                       config.PARALLEL.SPATIAL)
     n_data = mesh.shape["data"]
     logger.info(f"devices: {jax.device_count()} mesh: data={n_data} "
-                f"model={mesh.shape['model']}")
+                f"model={mesh.shape['model']} "
+                f"spatial={mesh.shape['spatial']}")
 
     # model + solver
     model = get_model(config)
@@ -68,7 +70,13 @@ def main():
     train_dataset = get_dataset(config, transforms, mode="train")
     val_dataset = get_dataset(config, build_val_transforms(config), mode="val")
     global_batch = config.DATA.BATCH_SIZE * n_data
-    sharding = batch_sharding(mesh)
+    if mesh.shape["spatial"] > 1:
+        # PARALLEL.SPATIAL > 1: image H additionally shards over 'spatial' —
+        # GSPMD partitions the convs with halo exchanges (big-crop training)
+        from emrt_tpu.parallel import spatial_batch_sharding
+        sharding = spatial_batch_sharding(mesh)
+    else:
+        sharding = batch_sharding(mesh)
     loader = DataLoader(train_dataset, global_batch,
                         iterations=config.TRAIN.ITERS, seed=config.SEED,
                         num_workers=config.DATA.NUM_WORKERS,
