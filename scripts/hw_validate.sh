@@ -4,8 +4,8 @@
 #   1. golden numerical check on the TPU backend (Mosaic lowering)
 #   2. per-kernel micro timings (compare vs the log in README perf notes)
 #   3. train-step micro at bs32 (the bench configuration)
-# bench.py is NOT run here — run it last, after code freeze, so the driver's
-# bench invocation hits the persistent compile cache.
+#   4. bench.py — kernel code is frozen, so this warms the persistent
+#      compile cache for the driver's bench invocation AND records numbers.
 set -x
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/hw_validate.log}
@@ -17,6 +17,8 @@ LOG=${1:-/tmp/hw_validate.log}
   timeout 2400 python scripts/micro_bwd.py 8 6
   echo "=== 3. train-step micro bs32 ==="
   timeout 3600 python scripts/micro_train.py 32
+  echo "=== 4. bench.py (warms driver compile cache) ==="
+  timeout 5400 python bench.py | tee /tmp/bench_r3s4.json
   date
   echo "=== hw_validate done ==="
 } >"$LOG" 2>&1
