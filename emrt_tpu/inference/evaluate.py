@@ -182,7 +182,9 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
         if bar is not None:
             bar.update(n_img)
 
-    if bar is not None:
+    if bar is not None and (bar.target is None or n_img < bar.target):
+        # the loop's last update auto-finalizes when n_img hits the target;
+        # only force-finalize short runs to avoid a duplicate final line
         bar.update(n_img, finalize=True)
     val_time = time.time() - start
     result = acc.summarize()

@@ -461,14 +461,14 @@ def _fwd_dispatch(value, spatial_shapes, loc_all, attn_all, interpret):
         # call can't run at all but at least one level can (the oversize
         # level alone falls back to jnp instead of dragging all levels)
         if min(per_l) > tq or (tq == 0 and max(per_l) > 0):
-            out, off = None, 0
+            out, off = None, 0   # f32 level accumulation (bf16 adds drift)
             for l, (h, w) in enumerate(spatial_shapes):
                 o = _fwd_dispatch(value[:, off:off + h * w], ((h, w),),
                                   loc_all[:, :, :, l:l + 1],
                                   attn_all[:, :, :, l:l + 1], interpret)
-                out = o if out is None else out + o
+                out = o.astype(jnp.float32) if out is None else out + o
                 off += h * w
-            return out
+            return out.astype(value.dtype)
     if tq == 0:
         _warn_fallback("forward", spatial_shapes, lq)
         from .deformable import deformable_attention_core

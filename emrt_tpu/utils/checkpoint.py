@@ -183,6 +183,21 @@ def load_weights_auto(path: str, params, batch_stats, model_name: str = "",
         skipped = len(report["missing"]) + len(report["unmatched_flax"])
         logger.info(f"pretrained load: {report['matched']} matched, "
                     f"{skipped} skipped")
+        if skipped:
+            # a partially-converted checkpoint means some module trains or
+            # evaluates from random init — surface it loudly (the CLI
+            # converter warns on exactly this condition, pdparams.main)
+            logger.warning(
+                f"pretrained load from {path}: "
+                f"{len(report['missing'])} checkpoint keys had no flax "
+                f"target, {len(report['unmatched_flax'])} flax params "
+                f"stayed at init "
+                f"(e.g. {(report['missing'] + report['unmatched_flax'])[:3]})")
+        if report["matched"] == 0:
+            raise ValueError(
+                f"pretrained load from {path} matched 0 keys for model "
+                f"{model_name!r} encoder {encoder_type!r} — wrong "
+                f"checkpoint/model combination?")
         return params, batch_stats
     if partial:
         return load_pretrained_model(path, params, batch_stats)

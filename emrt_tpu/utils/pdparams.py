@@ -324,30 +324,33 @@ def build_key_map(flat_p, model_name: str, encoder_type: str = ""):
                 and k.endswith("norm1/scale"))
     expect_unused = ("tgt_embed.weight",)
 
-    if "SETR" in name:
-        return (*M.setr_key_map(flat_p), ())
-
-    if "Segformer" in name or "SegFormer" in name:
-        return (*M.segformer_key_map(flat_p), ())
-
-    if "Segmenter" in name:
-        return (*M.segmenter_key_map(flat_p), ())
-
-    if "UperNet" in name or "Upernet" in name:
-        return (*M.upernet_key_map(flat_p), ())
-
-    if "Trans2Seg" in name or "Trans2seg" in name:
-        return (*M.trans2seg_key_map(flat_p), ())
-
-    if "DPT" in name:
-        # refine.3.resblock1 is registered but unreachable (the top
-        # fusion block gets x=None, dpt_head.py:144-148)
-        return (*M.dpt_key_map(flat_p), ("refine.3.resblock1",))
-
-    if "FCN" in name:
-        return (*M.fcn_key_map(flat_p), ())
-
+    # EMRT dispatch must run FIRST: variant names embed zoo family names
+    # ('EMRT_Segformer', 'EMRT_ViT') that would otherwise shadow-match the
+    # zoo branches below and return a key map with zero trunk entries
     if "EMRT" not in name:
+        if "SETR" in name:
+            return (*M.setr_key_map(flat_p), ())
+
+        if "Segformer" in name or "SegFormer" in name:
+            return (*M.segformer_key_map(flat_p), ())
+
+        if "Segmenter" in name:
+            return (*M.segmenter_key_map(flat_p), ())
+
+        if "UperNet" in name or "Upernet" in name:
+            return (*M.upernet_key_map(flat_p), ())
+
+        if "Trans2Seg" in name or "Trans2seg" in name:
+            return (*M.trans2seg_key_map(flat_p), ())
+
+        if "DPT" in name:
+            # refine.3.resblock1 is registered but unreachable (the top
+            # fusion block gets x=None, dpt_head.py:144-148)
+            return (*M.dpt_key_map(flat_p), ("refine.3.resblock1",))
+
+        if "FCN" in name:
+            return (*M.fcn_key_map(flat_p), ())
+
         raise NotImplementedError(
             f"no .pdparams key map for model {model_name!r} "
             f"(families covered: EMRT r50/cswin/vit/hrnet/segformer_b4, "
@@ -356,12 +359,8 @@ def build_key_map(flat_p, model_name: str, encoder_type: str = ""):
 
     maps = emrt_trunk_key_map(n_enc, n_dec)
     if "EMRT_CSwin" in name or enc == "cswintransformer":
-        if enc == "vit":
-            merge(maps, M.vit_backbone_map(flat_p, flax="backbone",
-                                           pd="encoder.transformer"))
-        else:
-            merge(maps, M.cswin_backbone_map(flat_p, flax="backbone",
-                                             pd="encoder"))
+        merge(maps, M.cswin_backbone_map(flat_p, flax="backbone",
+                                         pd="encoder"))
         for i in range(4):   # per-tap LayerNorms (cswin_backbone.py:236-251)
             maps[0][f"tap_norm{i}/scale"] = (f"layer_norms.{i}.weight", "id")
             maps[0][f"tap_norm{i}/bias"] = (f"layer_norms.{i}.bias", "id")

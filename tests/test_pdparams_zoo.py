@@ -202,7 +202,9 @@ def test_convert_emrt_segformer_b4():
         size=(8, 32, 1, 1)).astype(np.float32)
     extra["backbone.linear_pred.weight"] = rng.normal(
         size=(4, 8, 1, 1)).astype(np.float32)
-    _roundtrip(model, "EMRT", "segformer_b4", hw=64, extra_pd=extra,
+    # the shipped config's MODEL.NAME is 'EMRT_Segformer' — the zoo
+    # 'Segformer' substring must NOT shadow the EMRT dispatch
+    _roundtrip(model, "EMRT_Segformer", "segformer_b4", hw=64, extra_pd=extra,
                expect_samples=(
                    "backbone.backbone.patch_embed1.proj.weight",
                    "backbone.backbone.patch_embed4.norm.weight",
@@ -556,3 +558,15 @@ def test_pdparams_end_to_end_val_and_pretrained(tmp_path):
     log = out.stdout + out.stderr
     assert "pretrained load:" in log and " 0 skipped" in log, log[-2000:]
     assert "initialized from MODEL.PRETRAINED" in log
+
+
+def test_emrt_variant_names_route_to_emrt_maps():
+    """Shipped EMRT configs embed zoo family names in MODEL.NAME
+    ('EMRT_Segformer', 'EMRT_ViT', ...); dispatch must reach the EMRT
+    branch, not the zoo branch the substring would otherwise match."""
+    for name, enc in [("EMRT_Segformer", "segformer_b4"),
+                      ("EMRT_CSwin", "cswintransformer"),
+                      ("EMRT_ViT", "vit"), ("EMRT_HRNet", "hrnet"),
+                      ("EMRT", "resnet50")]:
+        pmap, _, _, _ = build_key_map({}, name, enc)
+        assert any(k.startswith("encoder_decoder/") for k in pmap), name

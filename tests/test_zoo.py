@@ -290,15 +290,23 @@ def test_zoo_family_train_step(family):
     model = _zoo_family(family)
     p0, p1, losses = _one_train_step(model, steps=1)
     assert np.isfinite(losses[0]), family
-    # every leaf must have received a gradient (optimizer actually wired):
-    # at least 90% of leaves change, and specifically head + backbone leaves
+    # the optimizer must actually be wired to the whole model: most leaves
+    # change, and EVERY top-level module (backbone, head(s), aux) has at
+    # least one updated leaf — a head silently disconnected from the loss
+    # would otherwise hide behind the backbone's leaf count
     flat0 = jax.tree_util.tree_leaves_with_path(p0)
     flat1 = dict(jax.tree_util.tree_leaves_with_path(p1))
-    changed = [str(path) for path, v in flat0
-               if not np.allclose(np.asarray(v),
-                                  np.asarray(flat1[tuple(path)]))]
-    frac = len(changed) / max(len(flat0), 1)
+    changed = {tuple(path): not np.allclose(np.asarray(v),
+                                            np.asarray(flat1[tuple(path)]))
+               for path, v in flat0}
+    frac = sum(changed.values()) / max(len(flat0), 1)
     assert frac > 0.5, (family, f"only {frac:.0%} of params changed")
+    top_changed = {}
+    for path, ch in changed.items():
+        top = getattr(path[0], "key", str(path[0]))
+        top_changed[top] = top_changed.get(top, False) or ch
+    dead = sorted(k for k, ch in top_changed.items() if not ch)
+    assert not dead, (family, f"modules with no updated leaves: {dead}")
 
 
 def test_zoo_loss_decreases_segformer():

@@ -54,9 +54,11 @@ def main():
     mesh = None
     if jax.device_count() > 1:
         from emrt_tpu.parallel import create_mesh
-        mesh = create_mesh(config.PARALLEL.DATA, config.PARALLEL.MODEL)
+        mesh = create_mesh(config.PARALLEL.DATA, config.PARALLEL.MODEL,
+                           config.PARALLEL.SPATIAL)
         logger.info(f"eval mesh: data={mesh.shape['data']} "
-                    f"model={mesh.shape['model']}")
+                    f"model={mesh.shape['model']} "
+                    f"spatial={mesh.shape['spatial']}")
     forward_fn = make_forward(model, mesh)
 
     def forward(images, p, bs):
