@@ -112,16 +112,20 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
     stride_size = tuple(config.VAL.STRIDE_SIZE)
     acc = MetricAccumulator(num_classes, ignore_index)
 
+    # The [C, C] confusion matrix ACCUMULATES ON DEVICE (async dispatch, no
+    # per-batch host sync) and crosses to the host once per spill. Counts
+    # are exact int32; spills are scheduled so no cell can reach 2^31.
     if mesh is None:
-        cm_fn = jax.jit(lambda p, l: confusion_matrix(p, l, num_classes,
-                                                      ignore_index))
+        @jax.jit
+        def cm_fn(total, p, l):
+            return total + confusion_matrix(p, l, num_classes, ignore_index)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
         data_s = NamedSharding(mesh, P("data"))
         n_data = mesh.shape["data"]
 
         @jax.jit
-        def cm_fn(p, l):
+        def cm_fn(total, p, l):
             pad = (-p.shape[0]) % n_data
             if pad:
                 # padded rows predict 0 against all-ignore labels: no-ops
@@ -131,7 +135,14 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
                     [l, jnp.full((pad,) + l.shape[1:], ignore_index, l.dtype)])
             p = jax.lax.with_sharding_constraint(p, data_s)
             l = jax.lax.with_sharding_constraint(l, data_s)
-            return confusion_matrix(p, l, num_classes, ignore_index)
+            return total + confusion_matrix(p, l, num_classes, ignore_index)
+
+    cm_total = jnp.zeros((num_classes, num_classes), jnp.int32)
+    pixels_accumulated = 0
+
+    def _spill(cm_dev):
+        cm = np.asarray(cm_dev, dtype=np.int64)
+        acc.update_areas(np.diagonal(cm), cm.sum(axis=0), cm.sum(axis=1))
 
     start = time.time()
     n_img = 0
@@ -176,12 +187,17 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
                 forward, imgs, labels, config, multi_scales, crop_size,
                 stride_size, num_classes, ignore_index, window_batch,
                 fwd_args)
-        cm = cm_fn(pred, label_batch)
-        acc.update_areas(jnp.diagonal(cm), cm.sum(axis=0), cm.sum(axis=1))
+        cm_total = cm_fn(cm_total, pred, label_batch)
+        pixels_accumulated += int(np.prod(label_batch.shape))
+        if pixels_accumulated > 1_500_000_000:   # int32 headroom (< 2^31)
+            _spill(cm_total)
+            cm_total = jnp.zeros((num_classes, num_classes), jnp.int32)
+            pixels_accumulated = 0
         n_img += n_real
         if bar is not None:
             bar.update(n_img)
 
+    _spill(cm_total)
     if bar is not None and (bar.target is None or n_img < bar.target):
         # the loop's last update auto-finalizes when n_img hits the target;
         # only force-finalize short runs to avoid a duplicate final line

@@ -68,6 +68,16 @@ def main():
     result = evaluate(forward, dataset, config,
                       multi_scales=args.multi_scales or config.VAL.MULTI_SCALES_VAL,
                       mesh=mesh, fwd_args=(params, batch_stats))
+    # paper-style per-class table (the accuracy-gate artifact: per-class
+    # IoU / Precision / Recall / F1 + OA / mIoU / Kappa / mF1, matching the
+    # reference's reported quantities, val.py:197-209)
+    header = f"{'class':>8} {'IoU':>8} {'Prec':>8} {'Recall':>8} {'F1':>8}"
+    logger.info(header)
+    for c in range(config.DATA.NUM_CLASSES):
+        logger.info(f"{c:>8d} {result['class_iou'][c]:>8.4f} "
+                    f"{result['class_precision'][c]:>8.4f} "
+                    f"{result['class_recall'][c]:>8.4f} "
+                    f"{result['class_f1'][c]:>8.4f}")
     logger.info(f"final mIoU: {result['miou']:.4f} Acc: {result['acc']:.4f} "
                 f"Kappa: {result['kappa']:.4f} mF1: {result['mf1']:.4f}")
     # FLOPs / params (reference val.py:211-230, via XLA cost analysis)
