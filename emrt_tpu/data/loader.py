@@ -65,12 +65,19 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, iterations: int | None = None,
                  shuffle: bool = True, seed: int = 0, num_workers: int = 2,
                  prefetch: int = 2, sharding=None, drop_last: bool = True,
-                 start_iter: int = 0):
+                 start_iter: int = 0, shard_index: int | None = None,
+                 num_shards: int | None = None):
+        # shard_index/num_shards default to jax.process_index()/count()
+        # inside IterationSampler; explicit values let tests simulate the
+        # multi-host path on one process (reference DistributedBatchSampler
+        # sharding, src/utils/dataloader.py:38-41)
         self.dataset = dataset
         self.batch_size = batch_size
         self.iterations = iterations
         self.sampler = IterationSampler(len(dataset), batch_size, shuffle=shuffle,
-                                        seed=seed, drop_last=drop_last)
+                                        seed=seed, drop_last=drop_last,
+                                        shard_index=shard_index,
+                                        num_shards=num_shards)
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.sharding = sharding

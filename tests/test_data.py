@@ -181,3 +181,58 @@ def test_val_batches_tail():
     assert [len(b) for b in batches] == [3, 3, 1]
     seen = [int(b[0][0, 0, 0]) for batch in batches for b in batch]
     assert seen == list(range(7))
+
+
+def test_multihost_loader_train_step_matches_global_batch():
+    """Two simulated hosts (shard_index 0/1 of 2) driving real FCN train
+    steps must reproduce the single-host global-batch loss trajectory:
+    the concatenation of the shards' local batches is a permutation of the
+    global batch, and the mean loss / BN stats / mean gradients are
+    permutation-invariant. End-to-end version of the sampler contract
+    (reference DistributedBatchSampler, src/utils/dataloader.py:38-41)."""
+    import jax
+    import jax.numpy as jnp
+
+    from emrt_tpu.losses import get_loss_function
+    from emrt_tpu.models.fcn import FCN
+    from emrt_tpu.solver import get_optimizer, get_scheduler
+    from emrt_tpu.train import make_train_step
+    from emrt_tpu.train.state import TrainState, init_variables
+
+    ds = SyntheticDataset(None, num_samples=16, crop_size=(32, 32),
+                          num_classes=4, seed=3)
+    global_bs, shards = 8, 2
+
+    def run(loaders):
+        cfg = get_config()
+        cfg.DATA.NUM_CLASSES = 4
+        model = FCN(num_classes=4, backbone="resnet18", output_stride=32)
+        variables = init_variables(model, jax.random.key(0),
+                                   jnp.zeros((1, 32, 32, 3)))
+        tx = get_optimizer(cfg, get_scheduler(cfg),
+                           params=variables["params"])
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=tx.init(variables["params"]), tx=tx)
+        step = make_train_step(model, get_loss_function(cfg), donate=False)
+        losses = []
+        iters = [iter(ld) for ld in loaders]
+        for _ in range(2):
+            parts = [next(it) for it in iters]
+            batch = {k: np.concatenate([p[k] for p in parts])
+                     for k in parts[0]}
+            # canonical sample order so reassociation is bit-identical
+            order = np.argsort(batch["image"].sum(axis=(1, 2, 3)),
+                               kind="stable")
+            batch = {k: jnp.asarray(v[order]) for k, v in batch.items()}
+            state, metrics = step(state, batch, jax.random.key(1))
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    single = run([DataLoader(ds, global_bs, iterations=2, seed=7,
+                             shard_index=0, num_shards=1)])
+    sharded = run([DataLoader(ds, global_bs // shards, iterations=2, seed=7,
+                              shard_index=i, num_shards=shards)
+                   for i in range(shards)])
+    np.testing.assert_allclose(single, sharded, rtol=0, atol=0)
