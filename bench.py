@@ -73,7 +73,7 @@ def main():
     cfg.TRAIN.DTYPE = "bfloat16"
 
     model = get_model(cfg)
-    rng = jax.random.key(0)
+    rng = jax.random.key(0, impl="rbg")  # production train rng (train.py:91)
 
     # ---- inference: whole-tile forward, chained on device ----
     infer_bs = 32

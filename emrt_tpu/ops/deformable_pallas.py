@@ -48,7 +48,8 @@ def _hat(dist):
 
 
 def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
-                      *, shapes, tq, n_points, n_heads, c):
+                      *, shapes, tq, n_points, n_heads, c,
+                      chunk_rows=0, full_h=0):
     """Build M across all levels and heads, one M @ V matmul per head.
 
     All heads live in LANES (free views of the projection outputs — no
@@ -71,9 +72,27 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
         exact, for strict golden parity.
     Accumulating through the scratch ref (not SSA) keeps Mosaic register
     pressure flat — long unrolled SSA chains at hw >= 1024 crash the
-    compile helper."""
+    compile helper.
+
+    chunk_rows > 0 (single-level big rasters, e.g. the 64x64 level of the
+    512^2 path): the value axis is split into row-bands of `chunk_rows`
+    rows over a third grid dimension and the output accumulates across
+    bands (out = sum_k M[:, band_k] @ V[band_k] — exact since bands
+    partition lv). Holding one band instead of the full level shrinks the
+    [tq, hw] temporaries ~nc-fold, so tq grows from ~56 to >=256 and the
+    M @ V matmuls run with full MXU row utilization. The sampling hat
+    tables shift by the band's first row (full_h keeps the y scaling
+    global)."""
     bf16 = v_ref.dtype == jnp.bfloat16
     n_levels = len(shapes)
+    chunked = chunk_rows > 0
+    if chunked:
+        row0 = (pl.program_id(2) * chunk_rows).astype(jnp.float32)
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
     tables = []
     for l, (h, w) in enumerate(shapes):
         hw = h * w
@@ -95,11 +114,14 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
         off = 0
         for l, (h, w) in enumerate(shapes):
             hw = h * w
+            y_scale = full_h if chunked else h
             col_t, row_tab, expand = tables[l]
             for p in range(n_points):
                 j = (hd * n_levels + l) * n_points + p
                 x_pix = loc_ref[0, :, 2 * j:2 * j + 1] * w - 0.5   # [tq, 1]
-                y_pix = loc_ref[0, :, 2 * j + 1:2 * j + 2] * h - 0.5
+                y_pix = loc_ref[0, :, 2 * j + 1:2 * j + 2] * y_scale - 0.5
+                if chunked:
+                    y_pix = y_pix - row0
                 a = attn_ref[0, :, j:j + 1].astype(jnp.float32)
                 # a * hat(dy) == relu(a - a*|dy|) for a >= 0 (softmaxed)
                 if bf16:
@@ -123,7 +145,10 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
                 m_ref[:], v.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-        out_ref[0, :, hd * c:(hd + 1) * c] = out.astype(out_ref.dtype)
+        if chunked:
+            out_ref[0, :, hd * c:(hd + 1) * c] += out.astype(out_ref.dtype)
+        else:
+            out_ref[0, :, hd * c:(hd + 1) * c] = out.astype(out_ref.dtype)
 
 
 def _pick_tq(lq, lv, fixed_bytes=0, buffers=7):
@@ -423,6 +448,27 @@ def _warn_fallback(what: str, shapes, lq):
             f"(~8x slower) jnp gather path")
 
 
+def _pick_fwd_chunk(lq, h, w, nh, c, itemsize, tq_base):
+    """Pick a value-axis row-band split for a single-level call whose
+    joint query tile came out small (big rasters: the 64x64 level of the
+    512^2 path runs tq=56 unbanded). Returns (chunk_rows, nc, tq) — the
+    smallest band count whose per-band tile reaches 256 queries, or the
+    best improvement found; (0, 1, tq_base) if banding doesn't help."""
+    best = (0, 1, tq_base)
+    for nc in (2, 4, 8, 16):
+        if h % nc or h // nc < 8:
+            continue
+        lv_c = (h // nc) * w
+        tq_c = _pick_tq(lq, lv_c,
+                        fixed_bytes=int(2.5 * lv_c * nh * c * itemsize),
+                        buffers=9)
+        if tq_c > best[2]:
+            best = (h // nc, nc, tq_c)
+        if tq_c >= 256:
+            break
+    return best
+
+
 def _fwd_tq(lq, lv, nh, c, itemsize, n_levels=3):
     # fixed VMEM: double-buffered value slab + out block. Single-level
     # calls (the level-partitioned 512^2 path) need a higher buffer
@@ -469,6 +515,11 @@ def _fwd_dispatch(value, spatial_shapes, loc_all, attn_all, interpret):
                 out = o.astype(jnp.float32) if out is None else out + o
                 off += h * w
             return out.astype(value.dtype)
+    chunk_rows, nc = 0, 1
+    if n_levels == 1 and tq < 256:
+        h0, w0 = spatial_shapes[0]
+        chunk_rows, nc, tq = _pick_fwd_chunk(
+            lq, h0, w0, nh, c, value.dtype.itemsize, tq)
     if tq == 0:
         _warn_fallback("forward", spatial_shapes, lq)
         from .deformable import deformable_attention_core
@@ -486,6 +537,34 @@ def _fwd_dispatch(value, spatial_shapes, loc_all, attn_all, interpret):
         attn2 = jnp.pad(attn2, ((0, 0), (0, pad), (0, 0)))
 
     lp2, lp = loc2.shape[-1], attn2.shape[-1]
+    if chunk_rows:
+        # value-axis banding: grid (bs, query tiles, bands), band innermost
+        # so the f32 out block stays resident while bands accumulate
+        h0, w0 = spatial_shapes[0]
+        lv_c = chunk_rows * w0
+        out = pl.pallas_call(
+            functools.partial(_fused_fwd_kernel,
+                              shapes=((chunk_rows, w0),), tq=tq,
+                              n_points=n_points, n_heads=nh, c=c,
+                              chunk_rows=chunk_rows, full_h=h0),
+            grid=(bs, lq_pad // tq, nc),
+            in_specs=[
+                pl.BlockSpec((1, tq, lp2), lambda i, j, k: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tq, lp), lambda i, j, k: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lv_c, nh * c), lambda i, j, k: (i, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tq, nh * c), lambda i, j, k: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bs, lq_pad, nh * c), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tq, lv_c), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(loc2, attn2, v2)
+        return out[:, :lq].astype(value.dtype)
     out = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, shapes=tuple(spatial_shapes),
                           tq=tq, n_points=n_points, n_heads=nh, c=c),

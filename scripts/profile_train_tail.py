@@ -110,6 +110,24 @@ def main():
     print(f"total {total:.1f} ms/iter ({len(agg)} mapped groups)")
     for k, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:60]:
         print(f"{ms:8.2f} ms  {k}")
+    # coarse subsystem rollup over ALL mapped groups (the whole-program
+    # event maps to an empty core path — drop it, it double-counts)
+    rollup = defaultdict(float)
+    for k, ms in agg.items():
+        tag, _, path = k.partition(" ")
+        if not path.strip():
+            continue
+        top = path.split("/")[1] if path.startswith("jit(train_step)/") \
+            else path.split("/")[0]
+        if "self_attn" in path and "pallas" in path:
+            top = "deformable_kernel"
+        elif "cross_attn" in path and "pallas" in path:
+            top = "deformable_kernel"
+        rollup[f"{tag} {top}"] += ms
+    print("--- subsystem rollup (all mapped groups) ---")
+    for k, ms in sorted(rollup.items(), key=lambda kv: -kv[1]):
+        if ms >= 0.3:
+            print(f"{ms:8.2f} ms  {k}")
     print("--- top unmapped events ---")
     for k, ms in sorted(unmapped.items(), key=lambda kv: -kv[1])[:25]:
         print(f"{ms:8.2f} ms  {k[:120]}")

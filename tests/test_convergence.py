@@ -6,6 +6,7 @@ optimizer/loss/BN wiring bugs that shape tests cannot.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from emrt_tpu.config import get_config
 from emrt_tpu.losses import get_loss_function
@@ -33,6 +34,7 @@ def _make_batch(rng):
     return {"image": img.astype(np.float32), "label": label}
 
 
+@pytest.mark.slow
 def test_emrt_converges_on_structured_data():
     cfg = get_config()
     cfg.DATA.NUM_CLASSES = N_CLASSES

@@ -114,6 +114,7 @@ def test_learned_position_embedding_encdec():
     assert hs.shape == (1, 110, 256) and mem.shape == (1, 84, 256)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_train_step():
     """PARALLEL.MODEL=2: Megatron-style TP shardings on the transformer
     projections compile and run the full train step on a dp4 x tp2 mesh,

@@ -61,6 +61,7 @@ def test_pallas_bf16_path_matches_reference(problem):
                                np.asarray(ref) / scale, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_pallas_bf16_grads_close(problem):
     """bf16 values select the MXU expansion/reduction backward; tolerance
     reflects bf16 rounding of weights, values, and gM products."""
@@ -153,3 +154,38 @@ def test_512_shapes_stay_on_pallas_within_vmem():
         gv_est = 9 * 4 * h * w * tq_gv + h * w * nh * c * 4
         gla_est = 16 * 4 * h * w * tq_gla + h * w * nh * c * 2
         assert gv_est < 15.0e6 and gla_est < 15.0e6, ((h, w), tq_gv, tq_gla)
+
+
+def test_banded_forward_matches_reference():
+    """Value-axis banding (single-level call whose joint query tile came
+    out small — the 64x64 level of the 512^2 path): the banded grid must
+    trigger and its accumulated output must match the unbanded reference
+    exactly (bands partition lv, so the sum is exact in f32)."""
+    from emrt_tpu.ops import deformable_pallas as dp
+
+    h, w, lq, nh, c, P = 32, 32, 512, 8, 64, 4
+    shapes = ((h, w),)
+    lv = h * w
+    tq = dp._fwd_tq(lq, lv, nh, c, 4, 1)
+    assert tq < 256  # precondition: banding path engages for this problem
+    chunk_rows, nc, tq_c = dp._pick_fwd_chunk(lq, h, w, nh, c, 4, tq)
+    assert chunk_rows > 0 and nc >= 2 and tq_c > tq
+
+    rng = np.random.default_rng(3)
+    value = jnp.asarray(rng.standard_normal((2, lv, nh, c)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (2, lq, nh, 1, P, 2)
+                                  ).astype(np.float32))
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((2, lq, nh, P)).astype(np.float32))
+    ).reshape(2, lq, nh, 1, P)
+
+    ref = deformable_attention_core(value, shapes, loc, attn)
+    out = deformable_attention_pallas(value, shapes, loc, attn, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    out_bf = deformable_attention_pallas(value.astype(jnp.bfloat16), shapes,
+                                         loc, attn, True)
+    scale = float(jnp.abs(ref).max()) + 1e-8
+    np.testing.assert_allclose(np.asarray(out_bf, np.float32) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)

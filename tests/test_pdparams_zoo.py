@@ -120,6 +120,7 @@ def _tiny_emrt(backbone, **kw):
                 num_decoder_layers=1, use_pallas=False, **kw)
 
 
+@pytest.mark.slow
 def test_convert_emrt_cswin():
     # key samples read from cswin_transformer.py:87-568 +
     # paddle_EMRT_cswin_backbone.py:236-251
@@ -142,6 +143,7 @@ def test_convert_emrt_cswin():
                ))
 
 
+@pytest.mark.slow
 def test_convert_emrt_vit():
     # vit.py:25-327 (fused qkv chunk(3) -> q/k/v; attn_norm / mlp_norm)
     model = _tiny_emrt("vit", vit_hidden=64, vit_layers=3, vit_heads=4,
@@ -161,6 +163,7 @@ def test_convert_emrt_vit():
                ))
 
 
+@pytest.mark.slow
 def test_convert_emrt_hrnet():
     # hrnet.py:93-663 naming: la1/bb_layer2_N, tr{1..3}, st{2..4} with
     # branches_func/fuse_func; paddleseg ConvBNReLU -> ._conv/._batch_norm
@@ -190,6 +193,7 @@ def test_convert_emrt_hrnet():
                ))
 
 
+@pytest.mark.slow
 def test_convert_emrt_segformer_b4():
     # paddleseg_segformer/mix_transformer.py:258-380 under the SegFormer
     # wrapper (backbone.backbone.*); wrapper head layers are dead weight
@@ -257,6 +261,7 @@ def test_convert_setr_pup():
                ))
 
 
+@pytest.mark.slow
 def test_convert_segformer_zoo():
     # zoo MixViT copy (mix_transformer.py:354-463: nested layers.{i}.{0,1,2},
     # conv-based MixFFN with pe_conv) + SegformerHead ConvModules
@@ -313,6 +318,7 @@ def test_convert_segmenter_vit_mask_and_deit_linear():
                ))
 
 
+@pytest.mark.slow
 def test_convert_upernet_swin_and_cswin():
     # swin_transformer.py:95-651 (patch_embedding, stages.{s}.blocks.{b},
     # downsample) + upernet.py:60-78 (layer_norms, decoder, aux_decoder) +

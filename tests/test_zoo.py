@@ -84,6 +84,7 @@ def test_segmenter_shapes():
         assert preds[0].shape == (1, 64, 64, 5)
 
 
+@pytest.mark.slow
 def test_upernet_swin_shapes():
     from emrt_tpu.models.upernet import UperNet
     model = UperNet(num_classes=5, encoder_type="SwinTransformer",
@@ -286,6 +287,7 @@ def _one_train_step(model, steps=1):
 @pytest.mark.parametrize("family", ["setr_mla", "upernet_swin",
                                     "upernet_focal", "segformer",
                                     "segmenter", "dpt", "trans2seg", "fcn"])
+@pytest.mark.slow
 def test_zoo_family_train_step(family):
     model = _zoo_family(family)
     p0, p1, losses = _one_train_step(model, steps=1)
