@@ -38,7 +38,8 @@ def main():
     cfg.TRAIN.DTYPE = "bfloat16"
 
     model = get_model(cfg)
-    rng = jax.random.key(0)
+    # match train.py:96 — production uses hardware-RNG keys for dropout
+    rng = jax.random.key(0, impl="rbg")
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     batch = {
         "image": jnp.asarray(np.random.default_rng(1).uniform(

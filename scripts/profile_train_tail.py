@@ -49,7 +49,8 @@ def main():
     cfg.TRAIN.OPTIMIZER.WEIGHT_DECAY = 1e-4
     cfg.TRAIN.DTYPE = "bfloat16"
     model = get_model(cfg)
-    rng = jax.random.key(0)
+    # match train.py:96 — production uses hardware-RNG keys for dropout
+    rng = jax.random.key(0, impl="rbg")
     batch = {
         "image": jnp.asarray(np.random.default_rng(1).uniform(
             -2, 2, (bs, 256, 256, 3)).astype(np.float32)),
