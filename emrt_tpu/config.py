@@ -91,6 +91,13 @@ class CfgNode(dict):
             parts = key.split(".")
             for p in parts[:-1]:
                 node = node[p]
+            # yacs contract: CLI overrides may only touch existing keys —
+            # a typo'd key (e.g. TRAIN.SAVE_DIR for the top-level SAVE_DIR)
+            # must fail loudly, not be silently ignored
+            if parts[-1] not in node:
+                raise KeyError(
+                    f"unknown config override key {key!r}; CLI opts can only "
+                    f"set keys that exist in the config tree")
             node[parts[-1]] = _coerce(value, node.get(parts[-1]))
 
     def dump(self) -> str:

@@ -93,6 +93,22 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
         def _():
             out_ref[0] = jnp.zeros_like(out_ref[0])
 
+        # EXACT whole-band skip: a point's bilinear y-hat is nonzero only
+        # for rows within 1 of y_pix, so after the band shift its support
+        # intersects this band iff y_pix is in (-1, chunk_rows). If NO
+        # (query, head, point) in the tile hits, the band's contribution
+        # is identically zero and the whole cell (48 plane builds + the
+        # M @ V matmuls) is skipped. Deformable offsets are near their
+        # reference points both at init (rotated-grid bias, lr x0.1) and
+        # after training, so a ~5-row query tile touches 1-2 of the nc
+        # bands; the test itself is one [tq, nh*L*P*2] elementwise pass.
+        locs = loc_ref[0]
+        is_y = (jax.lax.broadcasted_iota(jnp.int32, locs.shape, 1) % 2
+                ) == 1
+        y_all = locs * full_h - 0.5 - row0
+        band_hit = jnp.any(is_y & (y_all > -1.0)
+                           & (y_all < float(chunk_rows)))
+
     tables = []
     for l, (h, w) in enumerate(shapes):
         hw = h * w
@@ -110,45 +126,53 @@ def _fused_fwd_kernel(loc_ref, attn_ref, v_ref, out_ref, m_ref,
                      ).astype(jnp.float32)
             tables.append((col_t, row_t, None))
 
-    for hd in range(n_heads):
-        off = 0
-        for l, (h, w) in enumerate(shapes):
-            hw = h * w
-            y_scale = full_h if chunked else h
-            col_t, row_tab, expand = tables[l]
-            for p in range(n_points):
-                j = (hd * n_levels + l) * n_points + p
-                x_pix = loc_ref[0, :, 2 * j:2 * j + 1] * w - 0.5   # [tq, 1]
-                y_pix = loc_ref[0, :, 2 * j + 1:2 * j + 2] * y_scale - 0.5
-                if chunked:
-                    y_pix = y_pix - row0
-                a = attn_ref[0, :, j:j + 1].astype(jnp.float32)
-                # a * hat(dy) == relu(a - a*|dy|) for a >= 0 (softmaxed)
-                if bf16:
-                    awy_s = jnp.maximum(a - a * jnp.abs(row_tab - y_pix), 0.0)
-                    awy = jnp.dot(awy_s.astype(jnp.bfloat16), expand,
-                                  preferred_element_type=jnp.float32)
-                else:
-                    awy = jnp.maximum(a - a * jnp.abs(row_tab - y_pix), 0.0)
-                plane = _hat(col_t - x_pix) * awy
-                if p == 0:
-                    m_ref[:, off:off + hw] = plane
-                else:
-                    m_ref[:, off:off + hw] += plane
-            off += hw
-        v = v_ref[0, :, hd * c:(hd + 1) * c]
-        if bf16:
-            out = jnp.dot(m_ref[:].astype(jnp.bfloat16), v,
-                          preferred_element_type=jnp.float32)
-        else:
-            out = jax.lax.dot_general(
-                m_ref[:], v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-        if chunked:
-            out_ref[0, :, hd * c:(hd + 1) * c] += out.astype(out_ref.dtype)
-        else:
-            out_ref[0, :, hd * c:(hd + 1) * c] = out.astype(out_ref.dtype)
+    def _heads_body():
+        for hd in range(n_heads):
+            off = 0
+            for l, (h, w) in enumerate(shapes):
+                hw = h * w
+                y_scale = full_h if chunked else h
+                col_t, row_tab, expand = tables[l]
+                for p in range(n_points):
+                    j = (hd * n_levels + l) * n_points + p
+                    x_pix = loc_ref[0, :, 2 * j:2 * j + 1] * w - 0.5
+                    y_pix = loc_ref[0, :, 2 * j + 1:2 * j + 2] * y_scale - 0.5
+                    if chunked:
+                        y_pix = y_pix - row0
+                    a = attn_ref[0, :, j:j + 1].astype(jnp.float32)
+                    # a * hat(dy) == relu(a - a*|dy|) for a >= 0 (softmaxed)
+                    if bf16:
+                        awy_s = jnp.maximum(
+                            a - a * jnp.abs(row_tab - y_pix), 0.0)
+                        awy = jnp.dot(awy_s.astype(jnp.bfloat16), expand,
+                                      preferred_element_type=jnp.float32)
+                    else:
+                        awy = jnp.maximum(
+                            a - a * jnp.abs(row_tab - y_pix), 0.0)
+                    plane = _hat(col_t - x_pix) * awy
+                    if p == 0:
+                        m_ref[:, off:off + hw] = plane
+                    else:
+                        m_ref[:, off:off + hw] += plane
+                off += hw
+            v = v_ref[0, :, hd * c:(hd + 1) * c]
+            if bf16:
+                out = jnp.dot(m_ref[:].astype(jnp.bfloat16), v,
+                              preferred_element_type=jnp.float32)
+            else:
+                out = jax.lax.dot_general(
+                    m_ref[:], v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            if chunked:
+                out_ref[0, :, hd * c:(hd + 1) * c] += out.astype(out_ref.dtype)
+            else:
+                out_ref[0, :, hd * c:(hd + 1) * c] = out.astype(out_ref.dtype)
+
+    if chunked:
+        pl.when(band_hit)(_heads_body)
+    else:
+        _heads_body()
 
 
 def _pick_tq(lq, lv, fixed_bytes=0, buffers=7):

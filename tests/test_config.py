@@ -80,6 +80,20 @@ def test_clone_and_freeze():
     assert raised
 
 
+def test_merge_from_list_rejects_unknown_keys():
+    """CLI overrides must fail loudly on typo'd keys (yacs contract) —
+    e.g. TRAIN.SAVE_DIR for the top-level SAVE_DIR must not be silently
+    created-and-ignored."""
+    cfg = get_config()
+    cfg.merge_from_list(["TRAIN.ITERS", "5", "SAVE_DIR", "/tmp/x"])
+    assert cfg.TRAIN.ITERS == 5 and cfg.SAVE_DIR == "/tmp/x"
+    import pytest
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["TRAIN.SAVE_DIR", "/tmp/y"])
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["DATA.BATCHSIZE", "8"])
+
+
 def test_all_shipped_configs_parse_and_build():
     """Every yaml in configs/ (now name-for-name with the reference's 63-file
     zoo, reference configs/**) parses through BASE inheritance and builds

@@ -189,3 +189,36 @@ def test_banded_forward_matches_reference():
     scale = float(jnp.abs(ref).max()) + 1e-8
     np.testing.assert_allclose(np.asarray(out_bf, np.float32) / scale,
                                np.asarray(ref) / scale, atol=2e-2)
+
+
+def test_banded_forward_skips_unhit_bands_exactly():
+    """Local sampling (the trained-offset regime the whole-band hit test
+    targets): each query samples within a few pixels of its own grid row,
+    so most value bands are skipped — the output must still match the
+    unbanded reference exactly, including for queries whose support
+    straddles a band boundary."""
+    from emrt_tpu.ops import deformable_pallas as dp
+
+    h, w, nh, c, P = 32, 32, 8, 64, 4
+    shapes = ((h, w),)
+    lv = h * w
+    lq = lv
+    tq = dp._fwd_tq(lq, lv, nh, c, 4, 1)
+    chunk_rows, nc, _ = dp._pick_fwd_chunk(lq, h, w, nh, c, 4, tq)
+    assert chunk_rows > 0 and nc >= 2
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5,
+                         indexing="ij")
+    ref_pts = np.stack([xx / w, yy / h], -1).reshape(1, lq, 1, 1, 1, 2)
+    off = rng.uniform(-2.5, 2.5, (2, lq, nh, 1, P, 2)) / np.array([w, h])
+    loc = jnp.asarray((ref_pts + off).astype(np.float32))
+    value = jnp.asarray(rng.standard_normal((2, lv, nh, c)).astype(np.float32))
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((2, lq, nh, P)).astype(np.float32))
+    ).reshape(2, lq, nh, 1, P)
+
+    ref = deformable_attention_core(value, shapes, loc, attn)
+    out = deformable_attention_pallas(value, shapes, loc, attn, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

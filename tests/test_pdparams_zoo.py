@@ -359,6 +359,7 @@ def test_convert_upernet_swin_and_cswin():
                ))
 
 
+@pytest.mark.slow
 def test_convert_upernet_focal():
     # focal_transformer.py:87-191 (qkv, three bias-table families,
     # pool_layers) + :739-816 (conv PatchEmbed stem/downsample) +

@@ -142,6 +142,7 @@ def test_cswin_backbone_shapes():
                                         (1, 4, 4, 64), (1, 2, 2, 128)]
 
 
+@pytest.mark.slow
 def test_emrt_backbone_variants():
     from emrt_tpu.config import get_config
     from emrt_tpu.models import get_model
