@@ -187,12 +187,19 @@ def evaluate(forward, dataset, config, multi_scales: bool = False,
                 forward, imgs, labels, config, multi_scales, crop_size,
                 stride_size, num_classes, ignore_index, window_batch,
                 fwd_args)
-        cm_total = cm_fn(cm_total, pred, label_batch)
-        pixels_accumulated += int(np.prod(label_batch.shape))
-        if pixels_accumulated > 1_500_000_000:   # int32 headroom (< 2^31)
+        batch_pixels = int(np.prod(label_batch.shape))
+        # spill BEFORE accumulating so the device cm never exceeds the
+        # headroom: after a spill-or-skip, cm holds <= 1.5e9 counted pixels
+        # and 2^31 - 1.5e9 ≈ 647M bounds the single-batch contribution
+        assert batch_pixels < 600_000_000, (
+            f"val batch of {batch_pixels} pixels exceeds the int32 "
+            f"confusion-matrix headroom; lower DATA.BATCH_SIZE_VAL")
+        if pixels_accumulated + batch_pixels > 1_500_000_000:
             _spill(cm_total)
             cm_total = jnp.zeros((num_classes, num_classes), jnp.int32)
             pixels_accumulated = 0
+        cm_total = cm_fn(cm_total, pred, label_batch)
+        pixels_accumulated += batch_pixels
         n_img += n_real
         if bar is not None:
             bar.update(n_img)

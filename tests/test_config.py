@@ -92,6 +92,12 @@ def test_merge_from_list_rejects_unknown_keys():
         cfg.merge_from_list(["TRAIN.SAVE_DIR", "/tmp/y"])
     with pytest.raises(KeyError):
         cfg.merge_from_list(["DATA.BATCHSIZE", "8"])
+    # typo in a NON-leaf segment gets the same descriptive error, not a
+    # bare KeyError from the traversal (advisor finding, round 4)
+    with pytest.raises(KeyError, match="unknown config override key"):
+        cfg.merge_from_list(["TRIAN.ITERS", "5"])
+    with pytest.raises(KeyError, match="unknown config override key"):
+        cfg.merge_from_list(["TRAIN.OPTIMIZR.WEIGHT_DECAY", "1e-4"])
 
 
 def test_all_shipped_configs_parse_and_build():

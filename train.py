@@ -87,13 +87,14 @@ def main():
     # init state (replicated over mesh)
     ch, cw = config.DATA.CROP_SIZE
     sample = {"image": jnp.zeros((global_batch, ch, cw, 3), jnp.float32)}
-    # 'rbg' keys route dropout-mask generation through the TPU's hardware
-    # RngBitGenerator: the default threefry masks cost ~20 ms/step at bs32
-    # (8 dropout sites over up-to-44M-element activations); rbg recovers
-    # ~15 ms with identical dropout semantics (measured 237.4 -> 221.9
-    # ms/step, scripts/profile_train_tail.py round 4)
+    # 'rbg' keys (the TRAIN.RNG_IMPL default) route dropout-mask generation
+    # through the TPU's hardware RngBitGenerator: the threefry masks cost
+    # ~20 ms/step at bs32 (8 dropout sites over up-to-44M-element
+    # activations); rbg recovers ~15 ms with identical dropout semantics
+    # (measured 237.4 -> 221.9 ms/step, scripts/profile_train_tail.py round
+    # 4). Set TRAIN.RNG_IMPL threefry2x32 for bitwise-reproducible runs.
     init_rng, rng = jax.random.split(
-        jax.random.key(config.SEED, impl="rbg"))
+        jax.random.key(config.SEED, impl=config.TRAIN.RNG_IMPL))
     from emrt_tpu.train.state import init_variables
     variables = init_variables(model, init_rng, sample["image"])
     params = variables["params"]
