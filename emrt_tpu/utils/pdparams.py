@@ -264,6 +264,86 @@ def emrt_r50_key_map(num_enc_layers: int = 4, num_dec_layers: int = 2):
     return pmap, smap, fold
 
 
+def is_backbone_only_pdparams(pd_keys) -> bool:
+    """True for a prefix-less ImageNet resnet state dict (the reference's
+    published recipe inits the EMRT backbone from such files:
+    ``load_backbone_pretrained`` does ``model.set_state_dict(paddle.load(...))``
+    directly on the backbone, resnet.py:238-243, weights fetched by
+    resnet_utils/download.py:79-180)."""
+    keys = set(pd_keys)
+    has_stem = "conv1.weight" in keys or "conv1.0.weight" in keys
+    has_blocks = "layer1.0.conv1.weight" in keys
+    prefixed = any(k.startswith(("backbone.", "model.", "spatial_branch.",
+                                 "encoder.", "decode_head.", "uphead."))
+                   for k in keys)
+    return has_stem and has_blocks and not prefixed
+
+
+def resnet_backbone_key_map(flat_p, pd_keys, prefix: str = "backbone"):
+    """Backbone-only map: prefix-less ImageNet resnet ``.pdparams`` keys ->
+    the ``backbone/...`` flax subtree.
+
+    Handles BOTH reference layouts:
+
+    * torchvision-style (``paddle_vision_resnet.py``, weights from
+      ``resnet_utils/download.py``): ``conv1.weight`` 7x7 stem, ``bn1``,
+      ``layer{s}.{b}.conv{j}/bn{j}/downsample.{0,1}``;
+    * deep-stem ``resnet50c`` (``resnet.py:122-137``): ``conv1`` is a
+      Sequential of three 3x3 convs at indices 0/3/6 with BNs at 1/4
+      (the third BN is the top-level ``bn1``), then the same layer blocks.
+
+    The classifier head (``fc.*``, ``avgpool``) is legitimately unused.
+    Depths and block type are inferred from the flax tree so the same map
+    serves resnet18..152.
+    """
+    pd_keys = set(pd_keys)
+    deep_stem_pd = "conv1.0.weight" in pd_keys
+    block_name = "Bottleneck" if f"{prefix}/Bottleneck_0/Conv_0/kernel" \
+        in flat_p else "BasicBlock"
+    n_blocks = len({k.split("/")[1] for k in flat_p
+                    if k.startswith(f"{prefix}/{block_name}_")})
+    depths = {8: (2, 2, 2, 2), 16: (3, 4, 6, 3), 33: (3, 4, 23, 3),
+              50: (3, 8, 36, 3)}[n_blocks]
+    n_conv = 3 if block_name == "Bottleneck" else 2
+
+    pmap: Dict[str, tuple] = {}
+    smap: Dict[str, tuple] = {}
+
+    def bn(flax_prefix: str, pd_prefix: str):
+        pmap[f"{flax_prefix}/scale"] = (f"{pd_prefix}.weight", "id")
+        pmap[f"{flax_prefix}/bias"] = (f"{pd_prefix}.bias", "id")
+        smap[f"{flax_prefix}/mean"] = (f"{pd_prefix}._mean", "id")
+        smap[f"{flax_prefix}/var"] = (f"{pd_prefix}._variance", "id")
+
+    if deep_stem_pd:
+        # conv1 Sequential indices: conv 0, bn 1, relu 2, conv 3, bn 4,
+        # relu 5, conv 6; the third BN is the module-level bn1
+        for i, seq in enumerate((0, 3, 6)):
+            pmap[f"{prefix}/Conv_{i}/kernel"] = (f"conv1.{seq}.weight", "conv")
+        bn(f"{prefix}/_BN_0/BatchNorm_0", "conv1.1")
+        bn(f"{prefix}/_BN_1/BatchNorm_0", "conv1.4")
+        bn(f"{prefix}/_BN_2/BatchNorm_0", "bn1")
+    else:
+        pmap[f"{prefix}/Conv_0/kernel"] = ("conv1.weight", "conv")
+        bn(f"{prefix}/_BN_0/BatchNorm_0", "bn1")
+
+    n = 0
+    for stage, depth in enumerate(depths, start=1):
+        for b in range(depth):
+            base = f"{prefix}/{block_name}_{n}"
+            ref = f"layer{stage}.{b}"
+            for j in range(n_conv):
+                pmap[f"{base}/Conv_{j}/kernel"] = (
+                    f"{ref}.conv{j + 1}.weight", "conv")
+                bn(f"{base}/_BN_{j}/BatchNorm_0", f"{ref}.bn{j + 1}")
+            if b == 0 and f"{ref}.downsample.0.weight" in pd_keys:
+                pmap[f"{base}/Conv_{n_conv}/kernel"] = (
+                    f"{ref}.downsample.0.weight", "conv")
+                bn(f"{base}/_BN_{n_conv}/BatchNorm_0", f"{ref}.downsample.1")
+            n += 1
+    return pmap, smap, {}, ("fc.",)
+
+
 def _apply(tag: str, value: np.ndarray, target: np.ndarray) -> np.ndarray:
     if tag == "conv":
         return _conv(value)
@@ -415,8 +495,15 @@ def convert_pdparams(pd: Dict[str, np.ndarray], params, batch_stats,
     flat_p = dict(tu.flatten_dict(jax.tree.map(np.asarray, params), sep="/"))
     flat_s = dict(tu.flatten_dict(jax.tree.map(np.asarray, batch_stats or {}),
                                   sep="/"))
-    pmap, smap, fold, expect_unused = build_key_map(flat_p, model_name,
-                                                    encoder_type)
+    if is_backbone_only_pdparams(pd) and any(
+            k.startswith("backbone/") for k in flat_p):
+        # MODEL.PRETRAINED pointing at a prefix-less ImageNet resnet file:
+        # init only the backbone subtree (reference resnet.py:238-243)
+        logger.info("pdparams: backbone-only ImageNet checkpoint detected")
+        pmap, smap, fold, expect_unused = resnet_backbone_key_map(flat_p, pd)
+    else:
+        pmap, smap, fold, expect_unused = build_key_map(flat_p, model_name,
+                                                        encoder_type)
 
     used, missing = set(), []
     for flat, mapping in ((flat_p, pmap), (flat_s, smap)):
