@@ -121,8 +121,11 @@ class CSwinTransformer(nn.Module):
     def __call__(self, x, train: bool = False):
         det = not train
         splits = self.split_sizes or (1, 2, 7, 7)
+        # padding 2 (NOT "same"/3) matches the reference PatchEmbedding's
+        # Conv2D(k=7, s=4, p=2), cswin_transformer.py:87-93 — verified by
+        # the torch activation oracle (tests/test_pdparams_oracle.py)
         x = nn.Conv(self.embed_dim, (7, 7), strides=4,
-                    padding=[(3, 3), (3, 3)], dtype=self.dtype,
+                    padding=[(2, 2), (2, 2)], dtype=self.dtype,
                     kernel_init=xavier_uniform,
                     name="patch_embed")(x.astype(self.dtype))
         x = nn.LayerNorm(dtype=jnp.float32,

@@ -58,7 +58,10 @@ class FuseLayer(nn.Module):
                     for k in range(i - j):
                         last = k == i - j - 1
                         ch = self.channels[i] if last else self.channels[j]
-                        y = _conv(ch, 3, strides=2, name=f"down{i}_{j}_{k}")(y)
+                        y = nn.Conv(ch, (3, 3), strides=2, padding="SAME",
+                                        use_bias=False,
+                                        kernel_init=kaiming_normal,
+                                        name=f"down{i}_{j}_{k}")(y)
                         y = _BN(self.dtype)(y, train)
                         if not last:
                             y = nn.relu(y)
@@ -95,8 +98,10 @@ class HRNet(nn.Module):
         chs = [w, 2 * w, 4 * w, 8 * w]
         x = x.astype(self.dtype)
         # stem: two stride-2 convs -> stride 4
-        x = ConvBNReLU(64, 3, strides=2, dtype=self.dtype, name="stem1")(x, train)
-        x = ConvBNReLU(64, 3, strides=2, dtype=self.dtype, name="stem2")(x, train)
+        x = ConvBNReLU(64, 3, strides=2, padding="SAME", dtype=self.dtype,
+                       name="stem1")(x, train)
+        x = ConvBNReLU(64, 3, strides=2, padding="SAME", dtype=self.dtype,
+                       name="stem2")(x, train)
         c1 = x
         # layer1: 4 bottlenecks -> 256 ch
         for b in range(4):
@@ -106,7 +111,7 @@ class HRNet(nn.Module):
         # transitions + stages
         xs = [
             ConvBNReLU(chs[0], 3, dtype=self.dtype, name="trans1_b0")(x, train),
-            ConvBNReLU(chs[1], 3, strides=2, dtype=self.dtype,
+            ConvBNReLU(chs[1], 3, strides=2, padding="SAME", dtype=self.dtype,
                        name="trans1_b1")(x, train),
         ]
         for m in range(self.stage_modules[0]):
@@ -114,14 +119,16 @@ class HRNet(nn.Module):
                           name=f"stage2_m{m}")(xs, train)
         st2 = list(xs)
 
-        xs = xs + [ConvBNReLU(chs[2], 3, strides=2, dtype=self.dtype,
+        xs = xs + [ConvBNReLU(chs[2], 3, strides=2, padding="SAME",
+                              dtype=self.dtype,
                               name="trans2_new")(xs[-1], train)]
         for m in range(self.stage_modules[1]):
             xs = HRModule(chs[:3], dtype=self.dtype,
                           name=f"stage3_m{m}")(xs, train)
         st3 = list(xs)
 
-        xs = xs + [ConvBNReLU(chs[3], 3, strides=2, dtype=self.dtype,
+        xs = xs + [ConvBNReLU(chs[3], 3, strides=2, padding="SAME",
+                              dtype=self.dtype,
                               name="trans3_new")(xs[-1], train)]
         for m in range(self.stage_modules[2]):
             xs = HRModule(chs, dtype=self.dtype, name=f"stage4_m{m}")(xs, train)

@@ -149,9 +149,12 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        # reference concat order (swin_transformer.py:290-296):
+        # x0(0::2,0::2), x1(1::2,0::2), x2(0::2,1::2), x3(1::2,1::2) —
+        # i.e. column-offset-major: transpose to [..., dx, dy, c] before the
+        # flatten so the 4C layout matches the reference reduction kernel
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        # reference concat order: x0(0::2,0::2), x1(1::2,0::2), x2(0::2,1::2), x3(1::2,1::2)
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         kernel_init=xavier_uniform, name="reduction")(x)

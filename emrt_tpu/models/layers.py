@@ -18,20 +18,28 @@ xavier_uniform = nn.initializers.xavier_uniform()
 
 
 class ConvBNReLU(nn.Module):
-    """conv(k, no bias) + BatchNorm + ReLU."""
+    """conv(k, no bias) + BatchNorm + ReLU.
+
+    padding=None (default) pads symmetrically by dilation*(k//2); pass
+    "SAME" for TF-style asymmetric padding — paddleseg's ConvBNReLU uses
+    Paddle padding='same', which for stride-2 k3 pads (0, 1), NOT (1, 1)
+    (hrnet.py:96-110 stems/transitions; verified by the torch oracle)."""
     features: int
     kernel_size: int = 3
     strides: int = 1
     dilation: int = 1
     use_relu: bool = True
+    padding: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
+        pad = self.padding if self.padding is not None else \
+            [(d * (k // 2),) * 2 for d in (self.dilation, self.dilation)]
         x = nn.Conv(self.features, (k, k), strides=self.strides,
                     kernel_dilation=self.dilation,
-                    padding=[(d * (k // 2),) * 2 for d in (self.dilation, self.dilation)],
+                    padding=pad,
                     use_bias=False, dtype=self.dtype,
                     kernel_init=kaiming_normal)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -355,3 +355,362 @@ def test_segformer_backbone_matches_torch_reference():
                           jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     for ours, ref in zip(flax_feats, ref_feats):
         _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# CSwin: stripe (cross-shaped-window) attention with LePE vs a torch
+# re-implementation of the reference cswin_transformer.py:87-568 — the
+# round-4 verdict's highest-risk layout (stripe qkv halves + per-branch
+# depthwise get_v). Covers cswin_backbone_map (EMRT_CSwin AND UperNet-CSwin).
+# ---------------------------------------------------------------------------
+
+def _t_lepe_attn(q, k, v, pd, get_v_key, hh, ww, hs, ws, nh):
+    """Reference LePEAttention.forward (cswin_transformer.py:184-270):
+    im2cswin stripe partition, depthwise get_v LePE on per-stripe V maps,
+    q*scale attention, +lepe, windows2img."""
+    b, hw, c = q.shape
+    hd = c // nh
+
+    def im2cswin(x):
+        t = x.transpose(1, 2).reshape(b, c, hh, ww)
+        t = t.reshape(b, c, hh // hs, hs, ww // ws, ws)
+        t = t.permute(0, 2, 4, 3, 5, 1).reshape(-1, hs * ws, c)
+        return t.reshape(-1, hs * ws, nh, hd).permute(0, 2, 1, 3)
+
+    qs, ks = im2cswin(q), im2cswin(k)
+    xv = v.transpose(1, 2).reshape(b, c, hh, ww)
+    xv = xv.reshape(b, c, hh // hs, hs, ww // ws, ws)
+    xv = xv.permute(0, 2, 4, 1, 3, 5).reshape(-1, c, hs, ws)
+    lepe = F.conv2d(xv, _t(pd[f"{get_v_key}.weight"]),
+                    _t(pd[f"{get_v_key}.bias"]), padding=1, groups=c)
+    lepe = lepe.reshape(-1, nh, hd, hs * ws).permute(0, 1, 3, 2)
+    vs = xv.reshape(-1, nh, hd, hs * ws).permute(0, 1, 3, 2)
+    attn = torch.softmax((qs * hd ** -0.5) @ ks.transpose(-1, -2), dim=-1)
+    z = (attn @ vs + lepe).permute(0, 2, 1, 3).reshape(-1, hs * ws, c)
+    img = z.reshape(b, hh // hs, ww // ws, hs, ws, c)
+    img = img.permute(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, c)
+    return img.reshape(b, hw, c)
+
+
+def _t_cswin_block(t, pd, base, hh, ww, nh, sp, last):
+    """CSwinBlock.forward (cswin_transformer.py:358-404): norm1 -> qkv
+    chunk(3) -> channel-halved h/v stripe branches (attns.0 = full-height
+    stripes of width split, attns.1 = transposed) -> proj -> residual;
+    norm2 -> mlp -> residual. No padding (grids divisible by split)."""
+    b, hw, c = t.shape
+    y = _pd_ln(t, pd, f"{base}.norm1")
+    q, k, v = _pd_linear(y, pd, f"{base}.qkv").chunk(3, dim=-1)
+    if not last:
+        half = c // 2
+        ha = _t_lepe_attn(q[..., :half], k[..., :half], v[..., :half], pd,
+                          f"{base}.attns.0.get_v", hh, ww, hh, sp, nh // 2)
+        wa = _t_lepe_attn(q[..., half:], k[..., half:], v[..., half:], pd,
+                          f"{base}.attns.1.get_v", hh, ww, sp, ww, nh // 2)
+        attn = torch.cat([ha, wa], dim=2)
+    else:
+        attn = _t_lepe_attn(q, k, v, pd, f"{base}.attns.0.get_v",
+                            hh, ww, hh, ww, nh)
+    t = t + _pd_linear(attn, pd, f"{base}.proj")
+    y = _pd_ln(t, pd, f"{base}.norm2")
+    y = F.gelu(_pd_linear(y, pd, f"{base}.mlp.fc1"))
+    return t + _pd_linear(y, pd, f"{base}.mlp.fc2")
+
+
+def _torch_cswin_feats(x, pd, prefix, dims, heads, splits, depths):
+    """CSwinTransformer.forward (cswin_transformer.py:560-568): PatchEmbedding
+    conv k7 s4 p2 + token LayerNorm, stages of blocks (per-stage output
+    tapped BEFORE merge), MergeBlock conv k3 s2 p1 + LayerNorm."""
+    x = _pd_conv(x, pd, f"{prefix}.patch_embedding.patch_embed",
+                 stride=4, padding=2)
+    b, c, hh, ww = x.shape
+    t = _pd_ln(x.flatten(2).transpose(1, 2), pd,
+               f"{prefix}.patch_embedding.norm")
+    outs = []
+    for s in range(len(depths)):
+        last = s == len(depths) - 1
+        for blk in range(depths[s]):
+            t = _t_cswin_block(t, pd, f"{prefix}.stages.{s}.blocks.{blk}",
+                               hh, ww, heads[s], splits[s], last)
+        outs.append(t.transpose(1, 2).reshape(b, dims[s], hh, ww))
+        if not last:
+            xm = t.transpose(1, 2).reshape(b, dims[s], hh, ww)
+            xm = _pd_conv(xm, pd, f"{prefix}.stages.{s}.merge.conv",
+                          stride=2, padding=1)
+            b, _, hh, ww = xm.shape
+            t = _pd_ln(xm.flatten(2).transpose(1, 2), pd,
+                       f"{prefix}.stages.{s}.merge.norm")
+    return outs
+
+
+def test_cswin_backbone_matches_torch_reference():
+    from emrt_tpu.models.backbones.cswin import CSwinTransformer
+
+    dims, heads, splits, depths = (64, 128, 256, 512), (2, 4, 8, 16), \
+        (1, 2, 2, 2), (1, 1, 1, 1)
+    model = _tiny_emrt("cswintransformer", trans_embed_dim=64,
+                       trans_depths=depths, trans_heads=heads,
+                       trans_splits=splits)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "EMRT_CSwin", "CSwinTransformer")
+    new_p, _, report = convert_pdparams(pd, params, stats,
+                                        "EMRT_CSwin", "CSwinTransformer")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(6).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    ref_feats = _torch_cswin_feats(_t(x), pd, "encoder", dims, heads,
+                                   splits, depths)
+
+    bb = CSwinTransformer(embed_dim=64, depths=depths, num_heads=heads,
+                          split_sizes=splits)
+    flax_feats = bb.apply({"params": new_p["backbone"]},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert len(flax_feats) == 4
+    for ours, ref in zip(flax_feats, ref_feats):
+        _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# HRNet-W48: paddleseg naming (._conv/._batch_norm, bb_/tr/st attribute
+# scheme) + TF-style 'same' padding vs a torch re-implementation of the
+# reference hrnet.py:165-688 (round-4 verdict priority #2).
+# ---------------------------------------------------------------------------
+
+def _pd_cbn(x, pd, key, stride=1, relu=True):
+    """paddleseg ConvBNReLU/ConvBN (hrnet.py via paddleseg_utils.layers):
+    Conv2D(padding='same', bias_attr=False) named ._conv + ._batch_norm.
+    Paddle 'same' is TF-style: total pad = (ceil(H/s)-1)*s + k - H, split
+    with the EXTRA pixel on the bottom/right — (0,1) for stride-2 k3."""
+    import math
+    w = _t(pd[f"{key}._conv.weight"])
+    k = w.shape[-1]
+    ih, iw = x.shape[-2], x.shape[-1]
+    ph = max((math.ceil(ih / stride) - 1) * stride + k - ih, 0)
+    pw = max((math.ceil(iw / stride) - 1) * stride + k - iw, 0)
+    x = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+    x = F.conv2d(x, w, None, stride=stride)
+    x = _pd_bn(x, pd, f"{key}._batch_norm")
+    return F.relu(x) if relu else x
+
+
+def _t_hr_bottleneck(x, pd, base, down):
+    """BottleneckBlock (hrnet.py:316-381): 1x1 CBR -> 3x3 CBR -> 1x1 CB,
+    conv_down CB on block 1."""
+    r = _pd_cbn(x, pd, f"{base}.conv_down", relu=False) if down else x
+    y = _pd_cbn(x, pd, f"{base}.conv1")
+    y = _pd_cbn(y, pd, f"{base}.conv2")
+    y = _pd_cbn(y, pd, f"{base}.conv3", relu=False)
+    return F.relu(y + r)
+
+
+def _t_hr_basic(x, pd, base):
+    """BasicBlock (hrnet.py:384-443): 3x3 CBR -> 3x3 CB + identity."""
+    y = _pd_cbn(x, pd, f"{base}.conv1")
+    y = _pd_cbn(y, pd, f"{base}.conv2", relu=False)
+    return F.relu(y + x)
+
+
+def _t_hr_module(xs, pd, pdm, attr, m, n_br):
+    """HighResolutionModule (hrnet.py:531-563): per-branch BasicBlock x4
+    (Branches naming bb_{attr}_{m}_branch_layer_{i}_{j}) then FuseLayers
+    (residual_{attr}_{m}_layer_{i}_{j}[_{k}]; up = 1x1 CB + bilinear
+    align_corners=False, down = strided 3x3 chain, CBR except last CB)."""
+    ys = []
+    for br, x in enumerate(xs):
+        for b in range(4):
+            x = _t_hr_basic(
+                x, pd, f"{pdm}.branches_func."
+                       f"bb_{attr}_{m}_branch_layer_{br + 1}_{b + 1}")
+        ys.append(x)
+    outs = []
+    for i in range(n_br):
+        res = ys[i]
+        for j in range(n_br):
+            name = f"{pdm}.fuse_func.residual_{attr}_{m}_layer_{i + 1}_{j + 1}"
+            if j > i:
+                y = _pd_cbn(ys[j], pd, name, relu=False)
+                y = F.interpolate(y, res.shape[-2:], mode="bilinear",
+                                  align_corners=False)
+                res = res + y
+            elif j < i:
+                y = ys[j]
+                for k in range(i - j):
+                    y = _pd_cbn(y, pd, f"{name}_{k + 1}", stride=2,
+                                relu=k != i - j - 1)
+                res = res + y
+        outs.append(F.relu(res))
+    return outs
+
+
+def _torch_hrnet_feats(x, pd, prefix="backbone", modules=(1, 4, 3)):
+    """HRNet.forward (hrnet.py:165-190): stem CBR x2 (stride 4), la1
+    bottlenecks, tr1..3 transitions, st2..4 -> (conv2, st2, st3, st4)."""
+    x = _pd_cbn(x, pd, f"{prefix}.conv_layer1_1", stride=2)
+    x = _pd_cbn(x, pd, f"{prefix}.conv_layer1_2", stride=2)
+    conv2 = x
+    for i in range(4):
+        x = _t_hr_bottleneck(x, pd, f"{prefix}.la1.bb_layer2_{i + 1}", i == 0)
+    xs = [_pd_cbn(x, pd, f"{prefix}.tr1.transition_tr1_layer_1"),
+          _pd_cbn(x, pd, f"{prefix}.tr1.transition_tr1_layer_2", stride=2)]
+    stages = []
+    for stage, (attr, n_br, n_mod) in enumerate(
+            [("st2", 2, modules[0]), ("st3", 3, modules[1]),
+             ("st4", 4, modules[2])]):
+        if stage > 0:
+            xs = xs + [_pd_cbn(xs[-1], pd,
+                               f"{prefix}.tr{stage + 1}.transition_"
+                               f"tr{stage + 1}_layer_{n_br}", stride=2)]
+        for m in range(n_mod):
+            xs = _t_hr_module(xs, pd, f"{prefix}.{attr}.stage_{attr}_{m + 1}",
+                              attr, m + 1, n_br)
+        stages.append(list(xs))
+    return conv2, stages[0], stages[1], stages[2]
+
+
+@pytest.mark.slow
+def test_hrnet_backbone_matches_torch_reference():
+    from emrt_tpu.models.backbones.hrnet import hrnet_w48
+
+    model = _tiny_emrt("hrnet")
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "EMRT_HRNet", "HRNet")
+    new_p, new_s, report = convert_pdparams(pd, params, stats,
+                                            "EMRT_HRNet", "HRNet")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(7).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    ref_c1, ref_s2, ref_s3, ref_s4 = _torch_hrnet_feats(_t(x), pd)
+
+    bb = hrnet_w48()
+    c1, st2, st3, st4 = bb.apply(
+        {"params": new_p["backbone"], "batch_stats": new_s["backbone"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    _close(jnp.transpose(c1, (0, 3, 1, 2)), ref_c1)
+    for ours, refs in ((st2, ref_s2), (st3, ref_s3), (st4, ref_s4)):
+        for o, r in zip(ours, refs):
+            _close(jnp.transpose(o, (0, 3, 1, 2)), r)
+
+
+# ---------------------------------------------------------------------------
+# Swin: shifted-window attention with relative-position-bias table vs a
+# torch re-implementation of the reference swin_transformer.py:105-651
+# (fused qkv chunk(3), PatchMerging x0/x1/x2/x3 concat order, -100 shift
+# mask). Covers swin_backbone_map (UperNet-Swin).
+# ---------------------------------------------------------------------------
+
+def _swin_rel_index(ws):
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij")).reshape(2, -1)
+    rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0)
+    rel = rel + ws - 1
+    return rel[:, :, 0] * (2 * ws - 1) + rel[:, :, 1]
+
+
+def _swin_shift_mask(hp, wp, ws, shift):
+    img = np.zeros((1, hp, wp, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, hs, wsl, :] = cnt
+            cnt += 1
+    mw = img.reshape(1, hp // ws, ws, wp // ws, ws, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    m = mw[:, None, :] - mw[:, :, None]
+    return torch.from_numpy(np.where(m != 0, -100.0, 0.0).astype(np.float32))
+
+
+def _t_swin_block(t, pd, base, hh, ww, nh, ws, shift):
+    """SwinTransformerBlock.forward (swin_transformer.py:435-499) with
+    WindowAttention (:255-345: qkv chunk(3), q*scale, +rel-pos bias indexed
+    by the (2ws-1)-grid table, shift mask added pre-softmax)."""
+    b, L, c = t.shape
+    hd = c // nh
+    h0 = t
+    y = _pd_ln(t, pd, f"{base}.norm1").reshape(b, hh, ww, c)
+    if shift:
+        y = torch.roll(y, (-shift, -shift), (1, 2))
+    yw = y.reshape(b, hh // ws, ws, ww // ws, ws, c)
+    yw = yw.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+    q, k, v = _pd_linear(yw, pd, f"{base}.attn.qkv").chunk(3, dim=-1)
+    q = q.reshape(-1, ws * ws, nh, hd).permute(0, 2, 1, 3)
+    k = k.reshape(-1, ws * ws, nh, hd).permute(0, 2, 1, 3)
+    v = v.reshape(-1, ws * ws, nh, hd).permute(0, 2, 1, 3)
+    attn = (q * hd ** -0.5) @ k.transpose(-1, -2)
+    table = _t(pd[f"{base}.attn.relative_position_bias_table"])
+    bias = table[_swin_rel_index(ws).reshape(-1)]
+    bias = bias.reshape(ws * ws, ws * ws, nh).permute(2, 0, 1)
+    attn = attn + bias.unsqueeze(0)
+    if shift:
+        mask = _swin_shift_mask(hh, ww, ws, shift)
+        nw = mask.shape[0]
+        attn = attn.reshape(-1, nw, nh, ws * ws, ws * ws)
+        attn = attn + mask[None, :, None]
+        attn = attn.reshape(-1, nh, ws * ws, ws * ws)
+    attn = torch.softmax(attn, dim=-1)
+    z = (attn @ v).permute(0, 2, 1, 3).reshape(-1, ws * ws, c)
+    z = _pd_linear(z, pd, f"{base}.attn.proj")
+    z = z.reshape(b, hh // ws, ww // ws, ws, ws, c)
+    z = z.permute(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, c)
+    if shift:
+        z = torch.roll(z, (shift, shift), (1, 2))
+    t = h0 + z.reshape(b, L, c)
+    y = _pd_ln(t, pd, f"{base}.norm2")
+    y = F.gelu(_pd_linear(y, pd, f"{base}.mlp.fc1"))
+    return t + _pd_linear(y, pd, f"{base}.mlp.fc2")
+
+
+def _torch_swin_feats(x, pd, prefix, dims, heads, depths, ws_cfg):
+    """SwinTransformer.forward (:638-651): patch embed conv k4 s4 + LN,
+    per-stage blocks (shift = ws//2 on odd blocks, clamped off when the
+    resolution <= window), tap each stage's tokens, PatchMerging. The
+    per-stage layer_norms.{s} belong to the UperNet wrapper
+    (upernet.py:60-63) and are applied to the taps here."""
+    x = _pd_conv(x, pd, f"{prefix}.patch_embedding.patch_embed", stride=4)
+    b, c, hh, ww = x.shape
+    t = _pd_ln(x.flatten(2).transpose(1, 2), pd,
+               f"{prefix}.patch_embedding.norm")
+    outs = []
+    for s in range(len(depths)):
+        ws = min(ws_cfg, hh, ww)
+        for blk in range(depths[s]):
+            shift = 0 if blk % 2 == 0 or min(hh, ww) <= ws_cfg else ws // 2
+            t = _t_swin_block(t, pd, f"{prefix}.stages.{s}.blocks.{blk}",
+                              hh, ww, heads[s], ws, shift)
+        normed = _pd_ln(t, pd, f"layer_norms.{s}")
+        outs.append(normed.transpose(1, 2).reshape(b, dims[s], hh, ww))
+        if s < len(depths) - 1:
+            xm = t.reshape(b, hh, ww, dims[s])
+            x0 = xm[:, 0::2, 0::2]
+            x1 = xm[:, 1::2, 0::2]
+            x2 = xm[:, 0::2, 1::2]
+            x3 = xm[:, 1::2, 1::2]
+            xm = torch.cat([x0, x1, x2, x3], -1).reshape(b, -1, 4 * dims[s])
+            xm = _pd_ln(xm, pd, f"{prefix}.stages.{s}.downsample.norm")
+            t = xm @ _t(pd[f"{prefix}.stages.{s}.downsample.reduction.weight"])
+            hh, ww = hh // 2, ww // 2
+    return outs
+
+
+def test_swin_backbone_matches_torch_reference():
+    from emrt_tpu.models.backbones.swin import SwinTransformer
+    from emrt_tpu.models.upernet import UperNet
+
+    dims, heads, depths, ws = (8, 16, 32, 64), (1, 2, 4, 8), (2, 1, 1, 1), 4
+    model = UperNet(num_classes=4, encoder_type="SwinTransformer",
+                    embed_dim=8, depths=depths, num_heads=heads,
+                    window_size=ws, uper_channels=16, aux_channels=8)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "UperNet", "SwinTransformer")
+    new_p, _, report = convert_pdparams(pd, params, stats,
+                                        "UperNet", "SwinTransformer")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(8).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    ref_feats = _torch_swin_feats(_t(x), pd, "encoder", dims, heads,
+                                  depths, ws)
+
+    bb = SwinTransformer(embed_dim=8, depths=depths, num_heads=heads,
+                         window_size=ws)
+    flax_feats = bb.apply({"params": new_p["encoder"]},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    for ours, ref in zip(flax_feats, ref_feats):
+        _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
