@@ -714,3 +714,437 @@ def test_swin_backbone_matches_torch_reference():
                           jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     for ours, ref in zip(flax_feats, ref_feats):
         _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# Focal: focal window attention with ALL THREE bias-table families
+# (relative_position_bias_table, ..._to_neighbors, ..._to_windows.{k}) vs a
+# torch translation of the reference focal_transformer.py:87-645 —
+# round-4 verdict priority #3. Covers focal_backbone_map (UperNet-Focal).
+# ---------------------------------------------------------------------------
+
+def _focal_valid_rolled(ws, e):
+    masks = []
+    for corner in ("tl", "tr", "bl", "br"):
+        m = np.ones((ws, ws), np.float32)
+        rs = slice(None, -e) if corner[0] == "t" else slice(e, None)
+        cs = slice(None, -e) if corner[1] == "l" else slice(e, None)
+        m[rs, cs] = 0
+        masks.append(m)
+    return np.nonzero(np.stack(masks).reshape(-1))[0]
+
+
+def _focal_cross_index(ws, fr):
+    cq = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                              indexing="ij")).reshape(2, -1)
+    ck = np.stack(np.meshgrid(np.arange(fr), np.arange(fr),
+                              indexing="ij")).reshape(2, -1)
+    rel = (cq[:, :, None] - ck[:, None, :]).transpose(1, 2, 0) + fr - 1
+    return rel[:, :, 0] * (ws + fr - 1) + rel[:, :, 1]
+
+
+def _t_focal_block(x, pd, base, nh, ws_cfg, e_cfg, fl, fw):
+    """FocalTransformerBlock.forward (focal_transformer.py:525-645,
+    shift-free segmentation path) + WindowAttention.forward (:199-385):
+    fc-pooled coarse map, qkv chunk on fine + pooled, four diagonal rolls
+    gathered by valid_ind_rolled, pooled k/v unfolded (k=0: stride 1,
+    kernel 2*(fw//2)+1), three bias families added per key segment,
+    -100 border mask on pooled keys. x: [B, H, W, C] NHWC map."""
+    b, h, w, c = x.shape
+    hd = c // nh
+    if min(h, w) <= ws_cfg:
+        ws, e = min(h, w), 0
+    else:
+        ws, e = ws_cfg, e_cfg
+    assert h % ws == 0 and w % ws == 0, "oracle config avoids padding"
+    nwin = (h // ws) * (w // ws)
+    shortcut = x.reshape(b, h * w, c)
+    y = _pd_ln(shortcut, pd, f"{base}.norm1").reshape(b, h, w, c)
+
+    # fc pooling (k=0): window_size_glo = ws, pooled grid exactly covers y
+    pooled = None
+    if fl > 1:
+        wsg = ws
+        nwh, nww = h // ws, w // ws
+        win = y.reshape(b, nwh, wsg, nww, wsg, c).permute(0, 1, 3, 2, 4, 5)
+        win = win.reshape(b, nwh, nww, wsg * wsg, c).permute(0, 1, 2, 4, 3)
+        pw = _t(pd[f"{base}.pool_layers.0.weight"])       # [wsg^2, 1]
+        pb = _t(pd[f"{base}.pool_layers.0.bias"])
+        pooled = (win @ pw)[..., 0] + pb                  # [b, nwh, nww, c]
+
+    qkv_w = _t(pd[f"{base}.attn.qkv.weight"])
+    qkv_b = _t(pd[f"{base}.attn.qkv.bias"])
+
+    def qkv(m):
+        o = m @ qkv_w + qkv_b
+        return o[..., :c], o[..., c:2 * c], o[..., 2 * c:]
+
+    def win_part(t):                                      # -> [bw, n, nh, hd]
+        t = t.reshape(b, h // ws, ws, w // ws, ws, c)
+        t = t.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+        return t.reshape(-1, ws * ws, nh, hd)
+
+    q, k, v = qkv(y)
+    q_win = win_part(q)
+    k_parts, v_parts = [win_part(k)], [win_part(v)]
+    n_rolled = 0
+    if e > 0:
+        sel = torch.from_numpy(_focal_valid_rolled(ws, e))
+        krs, vrs = [], []
+        for dy, dx in ((-e, -e), (-e, e), (e, -e), (e, e)):
+            krs.append(win_part(torch.roll(k, (dy, dx), (1, 2))))
+            vrs.append(win_part(torch.roll(v, (dy, dx), (1, 2))))
+        k_parts.append(torch.cat(krs, 1)[:, sel])
+        v_parts.append(torch.cat(vrs, 1)[:, sel])
+        n_rolled = sel.shape[0]
+    fr = 0
+    if fl > 1:
+        kernel = 2 * (fw // 2) + 1                        # k=0: stride 1
+        fr = fw
+        _, kp, vp = qkv(pooled)
+        for t, parts in ((kp, k_parts), (vp, v_parts)):
+            u = F.unfold(t.permute(0, 3, 1, 2), kernel, padding=kernel // 2)
+            u = u.reshape(b, c, kernel * kernel, -1).permute(0, 3, 2, 1)
+            parts.append(u.reshape(b * nwin, kernel * kernel, nh, hd))
+        ones = torch.ones(1, 1, pooled.shape[1], pooled.shape[2])
+        um = F.unfold(ones, kernel, padding=kernel // 2)  # [1, k^2, L]
+        um = um[0].transpose(0, 1)                        # [L, k^2]
+        pooled_mask = torch.where(um > 0, 0.0, -100.0)
+
+    k_all = torch.cat(k_parts, 1).permute(0, 2, 1, 3)     # [bw, nh, N, hd]
+    v_all = torch.cat(v_parts, 1).permute(0, 2, 1, 3)
+    qh = q_win.permute(0, 2, 1, 3)
+    attn = (qh * hd ** -0.5) @ k_all.transpose(-1, -2)
+    nq = ws * ws
+
+    table = _t(pd[f"{base}.attn.relative_position_bias_table"])
+    bias = table[_swin_rel_index(ws).reshape(-1)]
+    bias = bias.reshape(nq, nq, nh).permute(2, 0, 1)
+    attn[:, :, :, :nq] = attn[:, :, :, :nq] + bias.unsqueeze(0)
+    off = nq
+    if n_rolled:
+        nb = _t(pd[f"{base}.attn.relative_position_bias_table_to_neighbors"])
+        attn[:, :, :, off:off + n_rolled] = \
+            attn[:, :, :, off:off + n_rolled] + nb      # [1, nh, nq, nr]
+        off += n_rolled
+    if fr:
+        wt = _t(pd[f"{base}.attn.relative_position_bias_table_to_windows.0"])
+        wb = wt[:, _focal_cross_index(ws, fr).reshape(-1)]
+        wb = wb.reshape(nh, nq, fr * fr)
+        seg = attn[:, :, :, off:off + fr * fr] + wb.unsqueeze(0)
+        seg = seg.reshape(b, nwin, nh, nq, fr * fr) + \
+            pooled_mask[None, :, None, None, :]
+        attn[:, :, :, off:off + fr * fr] = seg.reshape(-1, nh, nq, fr * fr)
+
+    attn = torch.softmax(attn, dim=-1)
+    z = (attn @ v_all).permute(0, 2, 1, 3).reshape(-1, nq, c)
+    z = _pd_linear(z, pd, f"{base}.attn.proj")
+    z = z.reshape(b, h // ws, w // ws, ws, ws, c)
+    z = z.permute(0, 1, 3, 2, 4, 5).reshape(b, h * w, c)
+    t = shortcut + z
+    y2 = _pd_ln(t, pd, f"{base}.norm2")
+    y2 = F.gelu(_pd_linear(y2, pd, f"{base}.mlp.fc1"))
+    t = t + _pd_linear(y2, pd, f"{base}.mlp.fc2")
+    return t.reshape(b, h, w, c)
+
+
+def _torch_focal_feats(x, pd, prefix, heads, depths, ws, e, fls, fws):
+    """FocalTransformer.forward (:985-1000): conv-embed stem (7x7/s4/p2 +
+    LN), per-stage blocks, conv-embed downsample (3x3/s2/p1 + LN);
+    layer_norms.{s} applied to each tap by the UperNet wrapper."""
+    x = _pd_conv(x, pd, f"{prefix}.patch_embed.proj", stride=4, padding=2)
+    b, c, hh, ww = x.shape
+    t = _pd_ln(x.flatten(2).transpose(1, 2), pd, f"{prefix}.patch_embed.norm")
+    x = t.reshape(b, hh, ww, c)
+    outs = []
+    for s in range(len(depths)):
+        for blk in range(depths[s]):
+            x = _t_focal_block(x, pd, f"{prefix}.layers.{s}.blocks.{blk}",
+                               heads[s], ws, e, fls[s], fws[s])
+        normed = _pd_ln(x.reshape(b, -1, x.shape[-1]), pd, f"layer_norms.{s}")
+        outs.append(normed.transpose(1, 2).reshape(
+            b, x.shape[-1], x.shape[1], x.shape[2]))
+        if s < len(depths) - 1:
+            xm = _pd_conv(x.permute(0, 3, 1, 2), pd,
+                          f"{prefix}.layers.{s}.downsample.proj",
+                          stride=2, padding=1)
+            b, c, hh, ww = xm.shape
+            t = _pd_ln(xm.flatten(2).transpose(1, 2), pd,
+                       f"{prefix}.layers.{s}.downsample.norm")
+            x = t.reshape(b, hh, ww, c)
+    return outs
+
+
+def test_focal_backbone_matches_torch_reference():
+    import flax.linen as fnn
+    from emrt_tpu.models.backbones.focal import FocalTransformer
+    from emrt_tpu.models.upernet import UperNet
+
+    heads, depths, ws, e = (1, 2, 4, 8), (1, 1, 1, 1), 4, 1
+    fls, fws = (2, 2, 2, 2), (3, 3, 3, 1)
+    model = UperNet(num_classes=4, encoder_type="FocalTransformer",
+                    embed_dim=8, depths=depths, num_heads=heads,
+                    window_size=ws, expand_sizes=(e,) * 4, focal_levels=fls,
+                    focal_windows=fws, use_conv_embed=True,
+                    uper_channels=16, aux_channels=8)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "UperNet_Focal", "FocalTransformer")
+    new_p, _, report = convert_pdparams(pd, params, stats,
+                                        "UperNet_Focal", "FocalTransformer")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(9).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    ref_feats = _torch_focal_feats(_t(x), pd, "encoder", heads, depths,
+                                   ws, e, fls, fws)
+
+    bb = FocalTransformer(embed_dim=8, depths=depths, num_heads=heads,
+                          window_size=ws, expand_sizes=(e,) * 4,
+                          focal_levels=fls, focal_windows=fws,
+                          use_conv_embed=True)
+
+    class _Normed(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            feats = bb.copy(name="encoder")(x, train=False)
+            return [fnn.LayerNorm(name=f"layer_norm{i}")(f)
+                    for i, f in enumerate(feats)]
+
+    flax_feats = _Normed().apply(
+        {"params": {"encoder": new_p["encoder"],
+                    **{f"layer_norm{i}": new_p[f"layer_norm{i}"]
+                       for i in range(4)}}},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for ours, ref in zip(flax_feats, ref_feats):
+        _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# EMRT-ViT: the vit_backbone_map routed through the EMRT trunk dispatch
+# (flax 'backbone/...' <- pd 'encoder.transformer...') vs the same torch
+# reference ViT used by the SETR oracle.
+# ---------------------------------------------------------------------------
+
+def test_emrt_vit_backbone_matches_torch_reference():
+    from emrt_tpu.models.backbones.vit import VisionTransformer
+
+    model = _tiny_emrt("vit", vit_hidden=64, vit_layers=4, vit_heads=4,
+                       vit_out_indices=(0, 1, 2, 3))
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "EMRT_ViT", "ViT")
+    new_p, _, report = convert_pdparams(pd, params, stats, "EMRT_ViT", "ViT")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(10).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    ref = _torch_vit_tokens(_t(x), pd, num_layers=4, num_heads=4, patch=16)
+
+    vit = VisionTransformer(patch_size=16, hidden_size=64, num_layers=4,
+                            num_heads=4, out_indices=(3,))
+    feats = vit.apply({"params": new_p["backbone"]},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    gh = 64 // 16
+    _close(feats[-1].reshape(1, gh * gh, 64), ref[:, 1:])
+
+
+# ---------------------------------------------------------------------------
+# EMRT segformer_b4: the PADDLESEG MixViT copy (mix_transformer.py under
+# paddleseg_segformer/ — Linear fc1/fc2 + dwconv MixFFN, 1-based
+# patch_embed{s}/block{s}/norm{s} naming) vs a torch re-implementation.
+# Distinct from the zoo copy already oracled above.
+# ---------------------------------------------------------------------------
+
+def _torch_mixvit_paddleseg_feats(x, pd, prefix, dims, heads, srs, depths):
+    """MixVisionTransformer.forward_features (paddleseg_segformer/
+    mix_transformer.py:431-472): OverlapPatchEmbed (k7s4p3 / k3s2p1 + LN),
+    blocks with q/kv Linears (kv reshaped [B,-1,2,nh,hd] so k = cols 0:C),
+    sr conv + LN when sr>1, MixFFN fc1 Linear -> dwconv 3x3 -> GELU -> fc2
+    Linear, stage norm{s} (1-based)."""
+    outs = []
+    b = x.shape[0]
+    for s in range(len(depths)):
+        k_sz, stride = (7, 4) if s == 0 else (3, 2)
+        x = _pd_conv(x, pd, f"{prefix}.patch_embed{s + 1}.proj",
+                     stride=stride, padding=k_sz // 2)
+        _, c, hh, ww = x.shape
+        t = _pd_ln(x.flatten(2).transpose(1, 2), pd,
+                   f"{prefix}.patch_embed{s + 1}.norm")
+        hd = dims[s] // heads[s]
+        for blk in range(depths[s]):
+            bb = f"{prefix}.block{s + 1}.{blk}"
+            y = _pd_ln(t, pd, f"{bb}.norm1")
+            q = _pd_linear(y, pd, f"{bb}.attn.q")
+            kv_in = y
+            if srs[s] > 1:
+                ym = y.transpose(1, 2).reshape(b, c, hh, ww)
+                ym = _pd_conv(ym, pd, f"{bb}.attn.sr", stride=srs[s])
+                kv_in = _pd_ln(ym.flatten(2).transpose(1, 2),
+                               pd, f"{bb}.attn.norm")
+            kv = _pd_linear(kv_in, pd, f"{bb}.attn.kv").reshape(b, -1, 2, c)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+            q = q.reshape(b, -1, heads[s], hd).permute(0, 2, 1, 3)
+            k = k.reshape(b, -1, heads[s], hd).permute(0, 2, 1, 3)
+            v = v.reshape(b, -1, heads[s], hd).permute(0, 2, 1, 3)
+            attn = torch.softmax((q @ k.transpose(-1, -2)) * hd ** -0.5, -1)
+            z = (attn @ v).permute(0, 2, 1, 3).reshape(b, -1, c)
+            t = t + _pd_linear(z, pd, f"{bb}.attn.proj")
+            y = _pd_ln(t, pd, f"{bb}.norm2")
+            y = _pd_linear(y, pd, f"{bb}.mlp.fc1")
+            ym = y.transpose(1, 2).reshape(b, y.shape[-1], hh, ww)
+            ym = _pd_conv(ym, pd, f"{bb}.mlp.dwconv.dwconv", padding=1,
+                          groups=ym.shape[1])
+            y = F.gelu(ym.flatten(2).transpose(1, 2))
+            t = t + _pd_linear(y, pd, f"{bb}.mlp.fc2")
+        t = _pd_ln(t, pd, f"{prefix}.norm{s + 1}")
+        x = t.transpose(1, 2).reshape(b, c, hh, ww)
+        outs.append(x)
+    return outs
+
+
+def test_emrt_segformer_b4_backbone_matches_torch_reference():
+    import flax.traverse_util as tu
+    from emrt_tpu.models.backbones.mix_transformer import MixVisionTransformer
+    from emrt_tpu.utils.pdparams_maps import mixvit_backbone_map
+
+    dims, heads, srs, depths = (8, 16, 16, 16), (1, 2, 2, 2), \
+        (2, 2, 1, 1), (1, 1, 1, 1)
+    mv = MixVisionTransformer(embed_dims=dims, depths=depths,
+                              num_heads=heads, sr_ratios=srs, mlp_ratio=2.0,
+                              drop_path_rate=0.0)
+    v = mv.init(jax.random.key(2), jnp.zeros((1, 64, 64, 3)))
+    params = {"backbone": v["params"]}
+    flat_p = _flat(params)
+    pmap, _, _ = mixvit_backbone_map(flat_p, flax="backbone",
+                                     pd="backbone.backbone")
+    rng = np.random.default_rng(11)
+    pd = {}
+    for fkey, (pdkey, tag) in pmap.items():
+        val = flat_p[fkey]
+        if tag == "conv":
+            pd[pdkey] = np.ascontiguousarray(val.transpose(3, 2, 0, 1))
+        else:
+            pd[pdkey] = np.asarray(val)
+    # convert through the real segformer_b4 dispatch (backbone-only tree)
+    new_p, _, report = convert_pdparams(pd, params, {}, "EMRT_Segformer",
+                                        "segformer_b4")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(12).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    ref_feats = _torch_mixvit_paddleseg_feats(_t(x), pd, "backbone.backbone",
+                                              dims, heads, srs, depths)
+    flax_feats = mv.apply({"params": new_p["backbone"]},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    for ours, ref in zip(flax_feats, ref_feats):
+        _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# Segmenter: MaskTransformer decoder (segmentor_head.py:21-86 — vit
+# EncoderLayers over patches+mask tokens, l2-normalized patch x class dot
+# product, mask_norm) and the DeiT encoder (deit.py:225-288 — class token
+# THEN distill token concat, fused qkv) + LinearDecoder, both end-to-end
+# through the full Segmenter forward incl. the bilinear resize.
+# ---------------------------------------------------------------------------
+
+def _torch_segmenter_vit_mask(x, pd, num_layers, num_heads, patch, n_cls,
+                              seg_layers):
+    """Segmentor.forward (segmentor.py:36-44) with the ViT encoder and
+    MaskTransformer decoder."""
+    tok = _torch_vit_tokens(x, pd, num_layers, num_heads, patch)
+    tok = _pd_ln(tok, pd, "norm")[:, 1:]
+    t = _pd_linear(tok, pd, "decoder.proj_decoder")
+    b, n, d = t.shape
+    hd = d // num_heads
+    mask_tokens = _t(pd["decoder.mask_tokens"]).expand(b, -1, -1)
+    t = torch.cat([t, mask_tokens], 1)
+    for i in range(seg_layers):
+        base = f"decoder.layers.{i}"
+        y = _pd_ln(t, pd, f"{base}.attn_norm", eps=1e-6)
+        qkv = _pd_linear(y, pd, f"{base}.attn.qkv").chunk(3, dim=-1)
+        q, k, v = [z.reshape(b, -1, num_heads, hd).permute(0, 2, 1, 3)
+                   for z in qkv]
+        attn = torch.softmax((q @ k.transpose(-1, -2)) * hd ** -0.5, dim=-1)
+        z = (attn @ v).permute(0, 2, 1, 3).reshape(b, -1, d)
+        t = t + _pd_linear(z, pd, f"{base}.attn.out")
+        y = _pd_ln(t, pd, f"{base}.mlp_norm", eps=1e-6)
+        y = F.gelu(_pd_linear(y, pd, f"{base}.mlp.fc1"))
+        t = t + _pd_linear(y, pd, f"{base}.mlp.fc2")
+    t = _pd_ln(t, pd, "decoder.decoder_norm")
+    patches, masks = t[:, :-n_cls], t[:, -n_cls:]
+    patches = patches @ _t(pd["decoder.proj_patch.weight"])
+    masks = masks @ _t(pd["decoder.proj_class.weight"])
+    patches = patches / patches.norm(dim=-1, keepdim=True)
+    masks = masks / masks.norm(dim=-1, keepdim=True)
+    logits = _pd_ln(patches @ masks.transpose(1, 2), pd, "decoder.mask_norm")
+    gh = int(n ** 0.5)
+    logits = logits.reshape(b, gh, gh, n_cls).permute(0, 3, 1, 2)
+    return F.interpolate(logits, size=x.shape[-2:], mode="bilinear")
+
+
+def test_segmenter_vit_mask_matches_torch_reference():
+    from emrt_tpu.models.segmenter import Segmenter
+
+    model = Segmenter(num_classes=4, decoder_type="MaskTransformer",
+                      patch_size=16, hidden_size=32, num_layers=2,
+                      num_heads=2, seg_num_layers=1)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "Segmenter", "ViT")
+    new_p, _, report = convert_pdparams(pd, params, stats, "Segmenter", "ViT")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(13).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    ref = _torch_segmenter_vit_mask(_t(x), pd, num_layers=2, num_heads=2,
+                                    patch=16, n_cls=4, seg_layers=1)
+    ours = model.apply({"params": new_p},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)[0]
+    _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+def _torch_deit_tokens(x, pd, num_layers, num_heads, patch):
+    """Deit.forward (deit.py:274-288): conv patch embed, concat (class,
+    distill, patches), + pos_embed, pre-norm blocks with eps-1e-6 norms
+    and fused qkv chunk(3)."""
+    b = x.shape[0]
+    h = _pd_conv(x, pd, "encoder.patch_embed.proj", stride=patch)
+    d = h.shape[1]
+    h = h.flatten(2).transpose(1, 2)
+    cls = _t(pd["encoder.class_token"]).expand(b, -1, -1)
+    dist = _t(pd["encoder.distill_token"]).expand(b, -1, -1)
+    h = torch.cat([cls, dist, h], dim=1) + _t(pd["encoder.pos_embed"])
+    hd = d // num_heads
+    for i in range(num_layers):
+        base = f"encoder.layers.{i}"
+        y = _pd_ln(h, pd, f"{base}.norm1", eps=1e-6)
+        qkv = _pd_linear(y, pd, f"{base}.attn.qkv").chunk(3, dim=-1)
+        q, k, v = [z.reshape(b, -1, num_heads, hd).permute(0, 2, 1, 3)
+                   for z in qkv]
+        attn = torch.softmax((q @ k.transpose(-1, -2)) * hd ** -0.5, dim=-1)
+        z = (attn @ v).permute(0, 2, 1, 3).reshape(b, -1, d)
+        h = h + _pd_linear(z, pd, f"{base}.attn.proj")
+        y = _pd_ln(h, pd, f"{base}.norm2", eps=1e-6)
+        y = F.gelu(_pd_linear(y, pd, f"{base}.mlp.fc1"))
+        h = h + _pd_linear(y, pd, f"{base}.mlp.fc2")
+    return h
+
+
+def test_segmenter_deit_linear_matches_torch_reference():
+    from emrt_tpu.models.segmenter import Segmenter
+
+    model = Segmenter(num_classes=4, decoder_type="LinearDecoder",
+                      patch_size=16, hidden_size=32, num_layers=2,
+                      num_heads=2, distilled=True)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "Segmenter_Linear", "DeiT")
+    new_p, _, report = convert_pdparams(pd, params, stats,
+                                        "Segmenter_Linear", "DeiT")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(14).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    tok = _torch_deit_tokens(_t(x), pd, num_layers=2, num_heads=2, patch=16)
+    tok = _pd_ln(tok, pd, "norm")[:, 2:]
+    masks = _pd_linear(tok, pd, "decoder.head")
+    gh = 64 // 16
+    masks = masks.reshape(1, gh, gh, 4).permute(0, 3, 1, 2)
+    ref = F.interpolate(masks, size=(64, 64), mode="bilinear")
+
+    ours = model.apply({"params": new_p},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)[0]
+    _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
