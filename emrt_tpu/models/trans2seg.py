@@ -36,16 +36,23 @@ class AttentionDecoder(nn.Module):
         head_dim = self.dim // self.num_heads
         q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                      kernel_init=xavier_uniform, name="fc_q")(q)
-        q = q.reshape(b, n_class, self.num_heads, head_dim)
+        # reference quirk (trans2seg_transformer.py:161): fc_q output
+        # [B, n_class, C] is reshaped HEAD-MAJOR to [B, nh, n_class, hd]
+        # (NOT a per-class head split) and the attention output is merged
+        # back the same head-major way (:171) — trained checkpoints bake
+        # this scramble in, so parity requires reproducing it exactly
+        # (verified by the torch oracle)
+        q = q.reshape(b, self.num_heads, n_class, head_dim)
         kv = nn.Dense(self.dim * 2, use_bias=False, dtype=self.dtype,
                       kernel_init=xavier_uniform, name="fc_kv")(x)
         kv = kv.reshape(b, n, 2, self.num_heads, head_dim)
         k, v = kv[:, :, 0], kv[:, :, 1]
-        attn_logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        attn_logits = jnp.einsum("bhqd,bkhd->bhqk", q, k,
                                  preferred_element_type=jnp.float32)
         attn_logits = attn_logits * head_dim ** -0.5
         attn = nn.softmax(attn_logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n_class, self.dim)
+        # [b, nh, n_class, hd] flattened row-major -> [b, n_class, C] (:171)
+        out = jnp.einsum("bhqk,bkhd->bhqd", attn, v).reshape(b, n_class, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier_uniform,
                        name="proj")(out)
         # maps: [b, n_class, n_heads, HW] pre-softmax (reference :175)

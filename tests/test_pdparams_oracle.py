@@ -1148,3 +1148,176 @@ def test_segmenter_deit_linear_matches_torch_reference():
     ours = model.apply({"params": new_p},
                        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)[0]
     _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# FCN + Trans2Seg: the paddleseg resnet50c deep-stem dilated backbone
+# (resnet.py:102-235) vs torch, plus FCN's conv-bias->BN fold and
+# Trans2Seg's full encoder/decoder/head pipeline — including the
+# reference's HEAD-MAJOR fc_q reshape quirk (trans2seg_transformer.py:161).
+# ---------------------------------------------------------------------------
+
+def _torch_resnet50c_feats(x, pd, prefix, output_stride):
+    """ResNetV1 deep-stem forward (resnet.py:122-137, 210-221): three 3x3
+    stem convs (s2/s1/s1, explicit padding 1) + bn1 + maxpool, then
+    layer1..4 of BottleneckV1b (conv2 stride/dilation with padding =
+    dilation; downsample 1x1 on stage starts)."""
+    x = F.relu(_pd_bn(_pd_conv(x, pd, f"{prefix}.conv1.0", stride=2,
+                               padding=1, bias=False), pd, f"{prefix}.conv1.1"))
+    x = F.relu(_pd_bn(_pd_conv(x, pd, f"{prefix}.conv1.3", padding=1,
+                               bias=False), pd, f"{prefix}.conv1.4"))
+    x = _pd_conv(x, pd, f"{prefix}.conv1.6", padding=1, bias=False)
+    x = F.relu(_pd_bn(x, pd, f"{prefix}.bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    dilations, strides = {32: ((1, 1), (2, 2)), 16: ((1, 2), (2, 1)),
+                          8: ((2, 4), (1, 1))}[output_stride]
+    stage_cfg = [(3, 1, 1), (4, 2, 1), (6, strides[0], dilations[0]),
+                 (3, strides[1], dilations[1])]
+    feats = []
+    for stage, (blocks, stride, dilation) in enumerate(stage_cfg, start=1):
+        for bi in range(blocks):
+            base = f"{prefix}.layer{stage}.{bi}"
+            # _make_layer (resnet.py:185-190): first block of a dilated
+            # stage uses dilation 1 (dil in (1,2)) or 2 (dil 4)
+            d = (1 if dilation in (1, 2) else 2) if bi == 0 else dilation
+            s = stride if bi == 0 else 1
+            identity = x
+            out = F.relu(_pd_bn(_pd_conv(x, pd, f"{base}.conv1", bias=False),
+                                pd, f"{base}.bn1"))
+            out = F.relu(_pd_bn(_pd_conv(out, pd, f"{base}.conv2", stride=s,
+                                         padding=d, dilation=d, bias=False),
+                                pd, f"{base}.bn2"))
+            out = _pd_bn(_pd_conv(out, pd, f"{base}.conv3", bias=False),
+                         pd, f"{base}.bn3")
+            if f"{base}.downsample.0.weight" in pd:
+                identity = _pd_bn(
+                    _pd_conv(x, pd, f"{base}.downsample.0", stride=s,
+                             bias=False), pd, f"{base}.downsample.1")
+            x = F.relu(out + identity)
+        feats.append(x)
+    return feats
+
+
+def test_fcn_matches_torch_reference():
+    from emrt_tpu.models.fcn import FCN
+
+    model = FCN(num_classes=4, backbone="resnet50c", output_stride=8)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "FCN", "resnet50c")
+    new_p, new_s, report = convert_pdparams(pd, params, stats,
+                                            "FCN", "resnet50c")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(15).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    c1, c2, c3, c4 = _torch_resnet50c_feats(_t(x), pd, "cnn_encoder",
+                                            output_stride=8)
+    # FCNHead (fcn.py:45-64): 1x1 conv WITH bias -> SyncBN -> relu -> cls;
+    # the conv bias folds into the BN mean on our side
+    y = F.relu(_pd_bn(_pd_conv(c4, pd, "head.conv_1.0"), pd, "head.conv_1.1"))
+    logit = _pd_conv(y, pd, "head.cls")
+    ref = F.interpolate(logit, (64, 64), mode="bilinear", align_corners=False)
+
+    ours = model.apply({"params": new_p, "batch_stats": new_s},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)[0]
+    _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+def _t_sep_conv(x, pd, base):
+    """SeparableConv2d relu_first=False (trans2seg_head.py:61-95):
+    depthwise(3x3, p1, no bias) -> BN -> relu -> pointwise(1x1) -> BN -> relu."""
+    c = x.shape[1]
+    x = F.conv2d(x, _t(pd[f"{base}.depthwise.weight"]), None, padding=1,
+                 groups=c)
+    x = F.relu(_pd_bn(x, pd, f"{base}.bn_depth"))
+    x = F.conv2d(x, _t(pd[f"{base}.pointwise.weight"]), None)
+    return F.relu(_pd_bn(x, pd, f"{base}.bn_point"))
+
+
+def _t_mlp(t, pd, base):
+    return _pd_linear(F.gelu(_pd_linear(t, pd, f"{base}.fc1")), pd,
+                      f"{base}.fc2")
+
+
+def test_trans2seg_matches_torch_reference():
+    from emrt_tpu.models.trans2seg import Trans2Seg
+
+    depth, nh, n_cls, ed = 2, 4, 4, 32
+    model = Trans2Seg(num_classes=n_cls, embed_dim=ed, depth=depth,
+                      num_heads=nh, mlp_ratio=3.0, hid_dim=8,
+                      output_stride=16)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "Trans2Seg", "resnet50c")
+    new_p, new_s, report = convert_pdparams(pd, params, stats,
+                                            "Trans2Seg", "resnet50c")
+    assert report["missing"] == [] and report["unused"] == []
+
+    xn = np.random.default_rng(16).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    x = _t(xn)
+    c1, c2, c3, c4 = _torch_resnet50c_feats(x, pd, "cnn_encoder",
+                                            output_stride=16)
+    b, c4c, h, w = c4.shape
+    hd = ed // nh
+    t = _pd_linear(c4.flatten(2).transpose(1, 2), pd, "hybrid_embed.proj")
+    cls = _t(pd["transformer_encoder.cls_token"]).expand(b, -1, -1)
+    t = torch.cat([cls, t], 1) + _t(pd["transformer_encoder.pos_embed"])
+    for i in range(depth):
+        base = f"transformer_encoder.blocks_encoder.{i}"
+        y = _pd_ln(t, pd, f"{base}.norm1")
+        # Attention_Encoder (:88-128): bias-free fused qkv, proper head
+        # split, biased proj
+        qkv = (y @ _t(pd[f"{base}.attn.qkv.weight"])).chunk(3, dim=-1)
+        q, k, v = [z.reshape(b, -1, nh, hd).permute(0, 2, 1, 3) for z in qkv]
+        attn = torch.softmax((q @ k.transpose(-1, -2)) * hd ** -0.5, dim=-1)
+        z = (attn @ v).permute(0, 2, 1, 3).reshape(b, -1, ed)
+        t = t + _pd_linear(z, pd, f"{base}.attn.proj")
+        t = t + _t_mlp(_pd_ln(t, pd, f"{base}.norm2"), pd, f"{base}.mlp")
+    t = _pd_ln(t, pd, "transformer_encoder.norm")
+    feat_enc = t[:, 1:]
+
+    # TransformerDecoder (:405-421) with Block_Decoder doubled residuals
+    cls_embed = _t(pd["transformer_decoder.cls_embed"]).expand(b, -1, -1)
+    feat = feat_enc
+    attn_r = None
+    for i in range(depth):
+        query = cls_embed if i == 0 else query + cls_embed
+        base = f"transformer_decoder.blocks_decoder.{i}"
+        qn = _pd_ln(query, pd, f"{base}.norm1_clsembed")
+        fn = _pd_ln(feat, pd, f"{base}.norm1")
+        # the head-major reshape quirk (:161): [B, n_cls, C] -> [B,nh,n_cls,hd]
+        q = (qn @ _t(pd[f"{base}.attn.fc_q.weight"])).reshape(b, nh, n_cls, hd)
+        kv = (fn @ _t(pd[f"{base}.attn.fc_kv.weight"])).reshape(
+            b, -1, 2, nh, hd).permute(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        attn1 = (q @ k.transpose(-1, -2)) * hd ** -0.5
+        xq = (torch.softmax(attn1, -1) @ v).reshape(b, n_cls, ed)
+        xq = _pd_linear(xq, pd, f"{base}.attn.proj")
+        attn_i = attn1.permute(0, 2, 1, 3)
+        query = xq + xq
+        query = query + _t_mlp(_pd_ln(query, pd, f"{base}.norm2"), pd,
+                               f"{base}.mlp")
+        feat = feat + feat
+        feat = feat + _t_mlp(_pd_ln(feat, pd, f"{base}.norm3"), pd,
+                             f"{base}.mlp2")
+        attn_r = attn_i + attn_i
+        attn_r = attn_r + _t_mlp(_pd_ln(attn_r, pd, f"{base}.norm4"), pd,
+                                 f"{base}.mlp3")
+
+    fe = feat_enc.reshape(b, h, w, ed).permute(0, 3, 1, 2)
+    amap = attn_r.reshape(b * n_cls, nh, h, w)
+    fexp = fe.unsqueeze(1).expand(-1, n_cls, -1, -1, -1).reshape(
+        b * n_cls, ed, h, w)
+    y = torch.cat([fexp, amap], 1)
+    y = _t_sep_conv(y, pd, "cnn_head.lay1.block")
+    y = _t_sep_conv(y, pd, "cnn_head.lay2.block")
+    y = F.interpolate(y, c1.shape[-2:], mode="bilinear", align_corners=True)
+    c1h = F.relu(_pd_bn(_pd_conv(c1, pd, "cnn_head.conv_c1.conv", bias=False),
+                        pd, "cnn_head.conv_c1.bn"))
+    y = y + c1h.unsqueeze(1).expand(-1, n_cls, -1, -1, -1).reshape(
+        (b * n_cls,) + c1h.shape[1:])
+    y = _t_sep_conv(y, pd, "cnn_head.lay3.block")
+    y = _pd_conv(y, pd, "cnn_head.pred").reshape(b, n_cls, *c1.shape[-2:])
+    ref = F.interpolate(y, (64, 64), mode="bilinear", align_corners=True)
+
+    ours = model.apply({"params": new_p, "batch_stats": new_s},
+                       jnp.asarray(xn.transpose(0, 2, 3, 1)), train=False)[0]
+    _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
