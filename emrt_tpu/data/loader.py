@@ -95,9 +95,18 @@ class DataLoader:
         return batch
 
     def _to_device(self, batch):
-        if self.sharding is not None:
-            return jax.device_put(batch, self.sharding)
-        return batch
+        if self.sharding is None:
+            return batch
+        if jax.process_count() > 1:
+            # true multi-host: each process holds only its shard of the
+            # global batch; assemble the global jax.Array from the
+            # process-local data (the TPU-native analog of the reference's
+            # DistributedBatchSampler feeding paddle.DataParallel,
+            # src/utils/dataloader.py:38-41 + train.py:116-123)
+            return jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    self.sharding, a), batch)
+        return jax.device_put(batch, self.sharding)
 
     def __iter__(self):
         stop = threading.Event()

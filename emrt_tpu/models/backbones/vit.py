@@ -54,6 +54,7 @@ class VisionTransformer(nn.Module):
     out_indices: Sequence[int] = (9, 14, 19, 23)
     keep_cls_token: bool = False
     return_cls: bool = False      # also return per-tap cls tokens (DPT readout)
+    drop_prefix_after_pos: bool = False   # ViT_MLA: cls only joins the pos add
     dropout: float = 0.0
     attn_dropout: float = 0.0
     dtype: Any = jnp.float32
@@ -78,6 +79,11 @@ class VisionTransformer(nn.Module):
                          nn.initializers.truncated_normal(0.02),
                          (1, gh * gw + npt, self.hidden_size))
         x = x + pos.astype(self.dtype)
+        if self.drop_prefix_after_pos:
+            # ViT_MLA quirk (vit_mla.py:88-96): the cls token is concatenated
+            # only for the positional add, then sliced off BEFORE the blocks
+            # ("For SETR") — the encoder runs on grid tokens alone
+            x = x[:, npt:]
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
 
         feats = []
@@ -87,12 +93,14 @@ class VisionTransformer(nn.Module):
                          self.dropout, self.attn_dropout, dtype=self.dtype,
                          name=f"block{i}")(x, deterministic=not train)
             if i in self.out_indices:
-                tokens = x if self.keep_cls_token else x[:, npt:]
+                keep = self.keep_cls_token or self.drop_prefix_after_pos
+                tokens = x if keep else x[:, npt:]
                 feats.append(tokens[:, -gh * gw:].reshape(b, gh, gw,
                                                           self.hidden_size))
                 cls_taps.append(x[:, 0])
         if not feats:
-            feats.append(x[:, npt:].reshape(b, gh, gw, self.hidden_size))
+            grid = x if self.drop_prefix_after_pos else x[:, npt:]
+            feats.append(grid.reshape(b, gh, gw, self.hidden_size))
             cls_taps.append(x[:, 0])
         if self.return_cls:
             return feats, cls_taps

@@ -60,6 +60,7 @@ class ViT_MLA(nn.Module):
             patch_size=self.patch_size, hidden_size=self.hidden_size,
             num_layers=self.num_layers, num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio, out_indices=tuple(self.out_indices),
+            drop_prefix_after_pos=True,   # vit_mla.py:94 "For SETR"
             dropout=self.dropout, attn_dropout=self.attn_dropout,
             dtype=self.dtype, name="transformer")(x, train)
         normed = []

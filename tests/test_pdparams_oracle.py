@@ -15,9 +15,22 @@ Torch shares Paddle's Conv2D layout and cross-correlation semantics, and
 swapped q/k/v slice anywhere in the map or in `_apply` produces grossly
 different activations here.
 
-Covered families (verdict ask): EMRT-r50 (resnet50 backbone end-to-end,
-decoder fused-qkv MHA, UpHead conv-bias->BN-mean fold), SETR (ViT
-backbone end-to-end), SegFormer (zoo MixViT backbone end-to-end).
+Covered families (round-4 verdict ask: EVERY map in pdparams_maps.py):
+EMRT-r50 (resnet50 backbone end-to-end, decoder fused-qkv MHA, UpHead
+conv-bias->BN-mean fold), SETR-ViT + PUP head + MLA (ViT_MLA cls-drop,
+Conv_MLA, MLAHead, aux heads), SegFormer (zoo MixViT), EMRT-CSwin /
+UperNet-CSwin (stripe qkv + LePE), EMRT-HRNet (paddleseg naming + TF-SAME
+padding), UperNet-Swin (shifted windows, rel-pos table, PatchMerging
+order) + UperHead/FCNHead, UperNet-Focal (all three bias-table families),
+EMRT-ViT, EMRT-segformer_b4 (paddleseg MixViT), Segmenter ViT-Mask +
+DeiT-Linear, DPT (readout/process/fusion head), FCN + Trans2Seg
+(resnet50c deep-stem dilated; head-major fc_q quirk), and the
+backbone-only prefix-less ImageNet init path.
+
+Parity bugs these oracles caught and fixed (round 5): CSwin patch-embed
+padding 3->2, HRNet symmetric->TF-SAME stride-2 padding, Swin
+PatchMerging concat order, Trans2Seg decoder head-major fc_q reshape,
+ViT_MLA cls-token drop after the positional add.
 """
 from __future__ import annotations
 
@@ -213,7 +226,8 @@ def test_uphead_conv_bn_fold_matches_torch():
 # reference vit.py Encoder (fused qkv chunk(3, axis=-1), pre-norm blocks)
 # ---------------------------------------------------------------------------
 
-def _torch_vit_tokens(x, pd, num_layers, num_heads, patch):
+def _torch_vit_tokens(x, pd, num_layers, num_heads, patch, taps=None,
+                      prefix="encoder.transformer", drop_cls=False):
     """Reference forward: Embeddings (vit.py:75-94: conv patch embed,
     cls_token concat FIRST, + position_embeddings) then EncoderLayer
     pre-norm blocks (vit.py:236-250) with Attention (vit.py:146-169:
@@ -221,16 +235,19 @@ def _torch_vit_tokens(x, pd, num_layers, num_heads, patch):
     (fc1 -> GELU -> fc2, vit.py:211-217). LayerNorm epsilon 1e-6
     (vit.py:237-238)."""
     b = x.shape[0]
-    emb = "encoder.transformer.embeddings"
+    emb = f"{prefix}.embeddings"
     h = _pd_conv(x, pd, f"{emb}.patch_embeddings", stride=patch)
     d = h.shape[1]
     h = h.flatten(2).transpose(1, 2)                       # [B, N, D]
     cls = _t(pd[f"{emb}.cls_token"]).expand(b, -1, -1)
     h = torch.cat([cls, h], dim=1)
     h = h + _t(pd[f"{emb}.position_embeddings"])
+    if drop_cls:
+        # ViT_MLA (vit_mla.py:88-96): cls joins only the positional add
+        h = h[:, 1:]
     hd = d // num_heads
     for i in range(num_layers):
-        base = f"encoder.transformer.encoder.layers.{i}"
+        base = f"{prefix}.encoder.layers.{i}"
         y = _pd_ln(h, pd, f"{base}.attn_norm", eps=1e-6)
         qkv = _pd_linear(y, pd, f"{base}.attn.qkv").chunk(3, dim=-1)
         q, k, v = [t.reshape(b, -1, num_heads, hd).permute(0, 2, 1, 3)
@@ -241,6 +258,8 @@ def _torch_vit_tokens(x, pd, num_layers, num_heads, patch):
         y = _pd_ln(h, pd, f"{base}.mlp_norm", eps=1e-6)
         y = F.gelu(_pd_linear(y, pd, f"{base}.mlp.fc1"))
         h = h + _pd_linear(y, pd, f"{base}.mlp.fc2")
+        if taps is not None:
+            taps.append(h)
     return h
 
 
@@ -1321,3 +1340,308 @@ def test_trans2seg_matches_torch_reference():
     ours = model.apply({"params": new_p, "batch_stats": new_s},
                        jnp.asarray(xn.transpose(0, 2, 3, 1)), train=False)[0]
     _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# DPT: project-readout, per-tap process stacks (4x/2x transposed convs with
+# the flipped-tap 'convt' layout, stride-2 conv), reassemble convs, and
+# FeatureFusionBlocks vs a torch re-implementation of dpt_head.py:20-265.
+# ---------------------------------------------------------------------------
+
+def _t_dpt_resblock(x, pd, base):
+    """ResidualBLock (dpt_head.py:105-128): relu -> conv3x3 -> BN -> relu
+    -> conv3x3 -> BN + identity (convs bias-free when bn=True)."""
+    y = F.relu(x)
+    y = _pd_bn(_pd_conv(y, pd, f"{base}.conv1", padding=1, bias=False),
+               pd, f"{base}.bn1")
+    y = F.relu(y)
+    y = _pd_bn(_pd_conv(y, pd, f"{base}.conv2", padding=1, bias=False),
+               pd, f"{base}.bn2")
+    return x + y
+
+
+def test_dpt_matches_torch_reference():
+    from emrt_tpu.models.dpt import DPTSeg
+
+    hf = (8, 16, 32, 32)
+    model = DPTSeg(num_classes=4, readout="project", patch_size=16,
+                   hidden_size=32, num_layers=4, num_heads=2,
+                   mlp_ratio=2.0, out_indices=(0, 1, 2, 3),
+                   hidden_features=hf, features=8)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "DPT", "ViT")
+    new_p, new_s, report = convert_pdparams(pd, params, stats, "DPT", "ViT")
+    assert report["missing"] == [] and report["unused"] == []
+
+    xn = np.random.default_rng(17).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    taps = []
+    _torch_vit_tokens(_t(xn), pd, num_layers=4, num_heads=2, patch=16,
+                      taps=taps, prefix="backbone.transformer")
+    gh = 64 // 16
+    processed = []
+    for i, tok in enumerate(taps):
+        # Proj readout (dpt_head.py:65-95): cat([patches, cls]) -> Linear
+        # -> GELU -> NCHW map
+        cls = tok[:, :1].expand(-1, gh * gh, -1)
+        f = F.gelu(_pd_linear(torch.cat([tok[:, 1:], cls], -1), pd,
+                              f"head.readout_oper.{i}.proj.0"))
+        f = f.transpose(1, 2).reshape(1, -1, gh, gh)
+        # process stack (dpt_head.py:230-263 via get_process)
+        f = _pd_conv(f, pd, f"head.process.{i}.0")
+        if i == 0:
+            f = F.conv_transpose2d(f, _t(pd["head.process.0.1.weight"]),
+                                   _t(pd["head.process.0.1.bias"]), stride=4)
+        elif i == 1:
+            f = F.conv_transpose2d(f, _t(pd["head.process.1.1.weight"]),
+                                   _t(pd["head.process.1.1.bias"]), stride=2)
+        elif i == 3:
+            f = _pd_conv(f, pd, "head.process.3.1", stride=2, padding=1)
+        f = _pd_conv(f, pd, f"head.layers_rn.{i}", padding=1, bias=False)
+        processed.append(f)
+    x = None
+    for i in range(3, -1, -1):
+        feature = processed[i]
+        if x is not None:
+            x = x + _t_dpt_resblock(feature, pd, f"head.refine.{i}.resblock1")
+        else:
+            x = feature
+        x = _t_dpt_resblock(x, pd, f"head.refine.{i}.resblock2")
+        x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        x = _pd_conv(x, pd, f"head.refine.{i}.out_conv")
+    x = F.relu(_pd_bn(_pd_conv(x, pd, "head.head.0", padding=1, bias=False),
+                      pd, "head.head.1"))
+    x = _pd_conv(x, pd, "head.head.4")
+    ref = F.interpolate(x, scale_factor=2, mode="bilinear",
+                        align_corners=True)
+
+    ours = model.apply({"params": new_p, "batch_stats": new_s},
+                       jnp.asarray(xn.transpose(0, 2, 3, 1)), train=False)[0]
+    _close(jnp.transpose(ours, (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# SETR-MLA / ViT-MLA: cls-dropped ViT stream, per-tap norm_{i}, Conv_MLA
+# cumulative aggregation, VIT_MLAHead branch heads, and the 1x1 aux heads
+# vs a torch re-implementation of vit_mla.py:309-460 + vit_mla_head.py +
+# vit_mla_auxi_head.py.
+# ---------------------------------------------------------------------------
+
+def _pd_seq_cbr(x, pd, conv_key, bn_key, padding=0):
+    return F.relu(_pd_bn(_pd_conv(x, pd, conv_key, padding=padding,
+                                  bias=False), pd, bn_key))
+
+
+def test_setr_mla_matches_torch_reference():
+    from test_pdparams_zoo import _tiny_setr
+
+    model = _tiny_setr("VIT_MLAHead", "ViT_MLA")
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "SETR_MLA", "ViT_MLA")
+    new_p, new_s, report = convert_pdparams(pd, params, stats,
+                                            "SETR_MLA", "ViT_MLA")
+    assert report["missing"] == [] and report["unused"] == []
+
+    xn = np.random.default_rng(18).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    taps = []
+    _torch_vit_tokens(_t(xn), pd, num_layers=4, num_heads=4, patch=16,
+                      taps=taps, drop_cls=True)
+    gh = 64 // 16
+    # per-tap norm + to_2D (vit_mla.py:380-460)
+    res = []
+    for i in range(4):
+        c = _pd_ln(taps[i], pd, f"encoder.norm_{i}", eps=1e-6)
+        res.append(c.transpose(1, 2).reshape(1, -1, gh, gh))
+    p1x1 = [_pd_seq_cbr(res[i], pd, f"encoder.mla.mla_p{i + 2}_1x1.0",
+                        f"encoder.mla.mla_p{i + 2}_1x1.1") for i in range(4)]
+    p4_plus = p1x1[3] + p1x1[2]
+    p3_plus = p4_plus + p1x1[1]
+    p2_plus = p3_plus + p1x1[0]
+    smooth_in = [p2_plus, p3_plus, p4_plus, p1x1[3]]
+    mla = [_pd_seq_cbr(smooth_in[i], pd, f"encoder.mla.mla_p{i + 2}.0",
+                       f"encoder.mla.mla_p{i + 2}.1", padding=1)
+           for i in range(4)]
+    # VIT_MLAHead (vit_mla_head.py:130-155)
+    outs = []
+    for i in range(4):
+        y = _pd_seq_cbr(mla[i], pd, f"decoder.head{i + 2}.0",
+                        f"decoder.head{i + 2}.1", padding=1)
+        y = _pd_seq_cbr(y, pd, f"decoder.head{i + 2}.3",
+                        f"decoder.head{i + 2}.4", padding=1)
+        outs.append(F.interpolate(y, (4 * gh, 4 * gh), mode="bilinear",
+                                  align_corners=True))
+    cat = torch.cat(outs, 1)
+    pred = _pd_conv(cat, pd, "decoder.cls", padding=1)
+    ref_main = F.interpolate(pred, (16 * gh, 16 * gh), mode="bilinear",
+                             align_corners=False)
+    # aux head on mla_p2 (vit_mla_auxi_head.py:38-53, 256-ch branch)
+    aux = _pd_conv(mla[0], pd, "aux_decoder2.aux", bias=False)
+    ref_aux = F.interpolate(aux, (16 * gh, 16 * gh), mode="bilinear",
+                            align_corners=False)
+
+    preds = model.apply({"params": new_p, "batch_stats": new_s},
+                        jnp.asarray(xn.transpose(0, 2, 3, 1)), train=False)
+    _close(jnp.transpose(preds[0], (0, 3, 1, 2)), ref_main)
+    _close(jnp.transpose(preds[1], (0, 3, 1, 2)), ref_aux)
+
+
+# ---------------------------------------------------------------------------
+# UperHead + FCNHead aux (shared by ALL UperNet families): PSP branches,
+# FPN laterals/top-down, fpn_bottleneck, conv_seg, and the aux head vs a
+# torch re-implementation of uper_head.py:25-122 + psp_head.py:25-60 +
+# fcn_head.py:45-80, end-to-end through the UperNet-Swin forward.
+# ---------------------------------------------------------------------------
+
+def test_upernet_head_matches_torch_reference():
+    from emrt_tpu.models.upernet import UperNet
+
+    dims, heads, depths, ws = (8, 16, 32, 64), (1, 2, 4, 8), (2, 1, 1, 1), 4
+    model = UperNet(num_classes=4, encoder_type="SwinTransformer",
+                    embed_dim=8, depths=depths, num_heads=heads,
+                    window_size=ws, uper_channels=16, aux_channels=8)
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "UperNet", "SwinTransformer")
+    new_p, new_s, report = convert_pdparams(pd, params, stats,
+                                            "UperNet", "SwinTransformer")
+    assert report["missing"] == [] and report["unused"] == []
+
+    xn = np.random.default_rng(19).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    feats = _torch_swin_feats(_t(xn), pd, "encoder", dims, heads, depths, ws)
+
+    # UperHead (uper_head.py:87-122)
+    top = feats[-1]
+    psp_outs = [top]
+    for i, s in enumerate((1, 2, 3, 6)):
+        y = F.adaptive_avg_pool2d(top, s)
+        y = _pd_seq_cbr(y, pd, f"decoder.psp_modules.pool_branches.{i}.1",
+                        f"decoder.psp_modules.pool_branches.{i}.2")
+        psp_outs.append(F.interpolate(y, top.shape[-2:], mode="bilinear",
+                                      align_corners=False))
+    psp = _pd_seq_cbr(torch.cat(psp_outs, 1), pd, "decoder.bottleneck.0",
+                      "decoder.bottleneck.1", padding=1)
+    laterals = [_pd_seq_cbr(feats[i], pd, f"decoder.lateral_convs.{i}.0",
+                            f"decoder.lateral_convs.{i}.1")
+                for i in range(3)] + [psp]
+    for idx in range(3, 0, -1):
+        laterals[idx - 1] = laterals[idx - 1] + F.interpolate(
+            laterals[idx], laterals[idx - 1].shape[-2:], mode="bilinear",
+            align_corners=False)
+    fpn = [_pd_seq_cbr(laterals[i], pd, f"decoder.fpn_convs.{i}.0",
+                       f"decoder.fpn_convs.{i}.1", padding=1)
+           for i in range(3)] + [laterals[-1]]
+    fpn = [fpn[0]] + [F.interpolate(f, fpn[0].shape[-2:], mode="bilinear",
+                                    align_corners=False) for f in fpn[1:]]
+    out = _pd_seq_cbr(torch.cat(fpn, 1), pd, "decoder.fpn_bottleneck.0",
+                      "decoder.fpn_bottleneck.1", padding=1)
+    out = _pd_conv(out, pd, "decoder.conv_seg")
+    ref_main = F.interpolate(out, (64, 64), mode="bilinear",
+                             align_corners=False)
+    # FCNHead aux on p4 (fcn_head.py:45-80, num_convs=1, up_ratio=16)
+    aux = _pd_seq_cbr(feats[2], pd, "aux_decoder.convs.0.0",
+                      "aux_decoder.convs.0.1", padding=1)
+    aux = _pd_conv(aux, pd, "aux_decoder.conv_seg")
+    ref_aux = F.interpolate(aux, (64, 64), mode="bilinear",
+                            align_corners=False)
+
+    preds = model.apply({"params": new_p, "batch_stats": new_s},
+                        jnp.asarray(xn.transpose(0, 2, 3, 1)), train=False)
+    _close(jnp.transpose(preds[0], (0, 3, 1, 2)), ref_main)
+    _close(jnp.transpose(preds[1], (0, 3, 1, 2)), ref_aux)
+
+
+# ---------------------------------------------------------------------------
+# SETR-PUP decoder (vit_up_head.py:40-118): norm + 4x (conv3x3 -> syncbn ->
+# relu -> 2x up) + 1x1 cls + final 2x up, on top of the oracled ViT.
+# ---------------------------------------------------------------------------
+
+def test_setr_pup_head_matches_torch_reference():
+    from test_pdparams_zoo import _tiny_setr
+
+    model = _tiny_setr("PUP_VisionTransformerUpHead", "ViT")
+    params, stats = _init(model, 64)
+    pd = synth_pdparams(params, stats, "SETR_PUP", "ViT")
+    new_p, new_s, report = convert_pdparams(pd, params, stats,
+                                            "SETR_PUP", "ViT")
+    assert report["missing"] == [] and report["unused"] == []
+
+    xn = np.random.default_rng(20).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    tok = _torch_vit_tokens(_t(xn), pd, num_layers=4, num_heads=4, patch=16)
+    gh = 64 // 16
+    t = _pd_ln(tok[:, 1:], pd, "decoder.norm", eps=1e-6)
+    x = t.transpose(1, 2).reshape(1, -1, gh, gh)
+    for i in range(4):
+        x = F.relu(_pd_bn(_pd_conv(x, pd, f"decoder.conv_{i}", padding=1),
+                          pd, f"decoder.syncbn_fc_{i}"))
+        if i < 3:
+            x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                              align_corners=False)
+    x = _pd_conv(x, pd, "decoder.conv_4")
+    ref = F.interpolate(x, scale_factor=2, mode="bilinear",
+                        align_corners=False)
+
+    preds = model.apply({"params": new_p, "batch_stats": new_s},
+                        jnp.asarray(xn.transpose(0, 2, 3, 1)), train=False)
+    _close(jnp.transpose(preds[0], (0, 3, 1, 2)), ref)
+
+
+# ---------------------------------------------------------------------------
+# Backbone-only ImageNet init (round-4 verdict #5): stem activations of a
+# PREFIX-LESS resnet50 .pdparams loaded through the backbone-only map vs
+# torch (reference load_backbone_pretrained, resnet.py:238-243).
+# ---------------------------------------------------------------------------
+
+def test_backbone_only_stem_matches_torch():
+    import flax.traverse_util as tu
+    from emrt_tpu.models.backbones.resnet import resnet
+    from emrt_tpu.utils.pdparams import (is_backbone_only_pdparams,
+                                         resnet_backbone_key_map)
+
+    bb = resnet(50, deep_stem=False, output_stride=32)
+    v = bb.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)))
+    params = {"backbone": v["params"]}
+    stats = {"backbone": v["batch_stats"]}
+    flat_p = dict(tu.flatten_dict(jax.tree.map(np.asarray, params), sep="/"))
+    flat_s = dict(tu.flatten_dict(jax.tree.map(np.asarray, stats), sep="/"))
+    rng = np.random.default_rng(21)
+    pd_keys = {"conv1.weight", "layer1.0.conv1.weight"}
+    pd_keys.update(f"layer{s}.0.downsample.0.weight" for s in range(1, 5))
+    pmap, smap, _, _ = resnet_backbone_key_map(flat_p, pd_keys)
+    pd = {}
+    for flat, mapping in ((flat_p, pmap), (flat_s, smap)):
+        for fkey, (pdkey, tag) in mapping.items():
+            if fkey not in flat:
+                continue
+            base = rng.normal(scale=0.05, size=flat[fkey].shape
+                              ).astype(np.float32)
+            if pdkey.endswith("_variance"):
+                base = np.abs(base) + 0.5
+            pd[pdkey] = np.ascontiguousarray(base.transpose(3, 2, 0, 1)) \
+                if tag == "conv" else base
+    assert is_backbone_only_pdparams(pd)
+    new_p, new_s, report = convert_pdparams(pd, params, stats,
+                                            "EMRT", "resnet50")
+    assert report["missing"] == [] and report["unused"] == []
+
+    x = np.random.default_rng(22).normal(size=(1, 3, 32, 32)).astype(np.float32)
+    ref = F.max_pool2d(
+        F.relu(_pd_bn(_pd_conv(_t(x), pd, "conv1", stride=2, padding=3,
+                               bias=False), pd, "bn1")), 3, stride=2,
+        padding=1)
+    feats = bb.apply({"params": new_p["backbone"],
+                      "batch_stats": new_s["backbone"]},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    # c1 is post-layer1; to isolate the stem, re-run the torch layer1 on ref
+    for bi in range(3):
+        basek = f"layer1.{bi}"
+        identity = ref
+        out = F.relu(_pd_bn(_pd_conv(ref, pd, f"{basek}.conv1", bias=False),
+                            pd, f"{basek}.bn1"))
+        out = F.relu(_pd_bn(_pd_conv(out, pd, f"{basek}.conv2", padding=1,
+                                     bias=False), pd, f"{basek}.bn2"))
+        out = _pd_bn(_pd_conv(out, pd, f"{basek}.conv3", bias=False),
+                     pd, f"{basek}.bn3")
+        if bi == 0:
+            identity = _pd_bn(_pd_conv(ref, pd, f"{basek}.downsample.0",
+                                       bias=False), pd, f"{basek}.downsample.1")
+        ref = F.relu(out + identity)
+    _close(jnp.transpose(feats[0], (0, 3, 1, 2)), ref)

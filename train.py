@@ -76,7 +76,14 @@ def main():
         sharding = spatial_batch_sharding(mesh)
     else:
         sharding = batch_sharding(mesh)
-    loader = DataLoader(train_dataset, global_batch,
+    # each process loads only its 1/process_count slice of the global batch
+    # (the sampler already shards indices per host; the loader assembles the
+    # global array from process-local shards)
+    assert global_batch % jax.process_count() == 0, \
+        f"global batch {global_batch} not divisible by " \
+        f"{jax.process_count()} processes"
+    host_batch = global_batch // jax.process_count()
+    loader = DataLoader(train_dataset, host_batch,
                         iterations=config.TRAIN.ITERS, seed=config.SEED,
                         num_workers=config.DATA.NUM_WORKERS,
                         sharding=sharding)
@@ -132,8 +139,18 @@ def main():
         state, start_iter = ckpt.restore(state)
         loader.start_iter = start_iter
 
+    if jax.process_count() > 1:
+        # multi-host: state must be an explicit global (replicated) array —
+        # jit cannot auto-replicate process-local arrays across hosts
+        from emrt_tpu.parallel import replicated
+        state = jax.device_put(state, replicated(mesh))
+
     train_step = make_train_step(model, loss_fn, donate=config.TRAIN.DONATE)
-    forward = make_forward(model, mesh if n_data > 1 else None)
+    # multi-host eval runs replicated per host (every process computes the
+    # identical full confusion matrix on its local device); the sharded
+    # in-graph psum path is single-process-per-mesh only
+    eval_mesh = mesh if (n_data > 1 and jax.process_count() == 1) else None
+    forward = make_forward(model, eval_mesh)
 
     def eval_forward(images, params, batch_stats):
         # params/batch_stats flow as fwd_args so the cached big-raster
@@ -174,7 +191,7 @@ def main():
             ckpt.save(it, state)
         if it % config.VALIDATE_FREQ == 0 or it == config.TRAIN.ITERS:
             result = evaluate(eval_forward, val_dataset, config,
-                              mesh=mesh if n_data > 1 else None,
+                              mesh=eval_mesh,
                               fwd_args=(state.params, state.batch_stats))
             ckpt.save_best(state, result["miou"])
 
