@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 
 from emrt_tpu.config import get_config
@@ -103,6 +105,7 @@ def test_progbar_runs(capsys):
     assert "10/10" in out
 
 
+@pytest.mark.slow
 def test_flops_counting():
     import jax.numpy as jnp
     from emrt_tpu.models.fcn import FCN
@@ -183,6 +186,7 @@ def test_val_batches_tail():
     assert seen == list(range(7))
 
 
+@pytest.mark.slow
 def test_multihost_loader_train_step_matches_global_batch():
     """Two simulated hosts (shard_index 0/1 of 2) driving real FCN train
     steps must reproduce the single-host global-batch loss trajectory:

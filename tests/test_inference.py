@@ -1,3 +1,5 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -124,6 +126,7 @@ def test_batched_resize_matches_per_image():
         assert float(jnp.abs(out[i, dh:]).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_evaluate_variable_shape_batches():
     """A shape-diverse dataset evaluates at BATCH_SIZE_VAL > 1; metrics
     equal a per-image uniform-path reference (VERDICT r1 missing #3)."""

@@ -69,6 +69,7 @@ def test_ms_deformable_attention_init_and_shape():
     np.testing.assert_allclose(b[0, 0, :, 1], [0, 0, 0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_decoder_shapes():
     module = EncoderDecoder(num_queries=5, hidden_dim=32, nhead=4,
                             num_feature_levels=2, num_encoder_layers=1,
@@ -93,6 +94,7 @@ def test_emrt_forward_shapes():
     assert aux.shape == (1, 64, 64, 6)
 
 
+@pytest.mark.slow
 def test_learned_position_embedding_encdec():
     """'learned' position_embed_type builds row/col tables and runs
     (reference transformer_encoder_decoder.py:340-348,

@@ -89,6 +89,7 @@ def test_pallas_oob_zeros(problem):
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_level_partitioned_path_exact(problem, monkeypatch):
     """Force the by-level dispatch (the 512^2 route: joint tile too small,
     per-level tiles fine) and require bit-level agreement in both the

@@ -79,6 +79,7 @@ def _make_synthetic_pdparams(params, batch_stats, rng):
     return pd, fold
 
 
+@pytest.mark.slow
 def test_roundtrip_exact(emrt_r50_vars, tmp_path):
     _, _, v = emrt_r50_vars
     rng = np.random.default_rng(0)
@@ -115,6 +116,7 @@ def test_roundtrip_exact(emrt_r50_vars, tmp_path):
             np.testing.assert_array_equal(got_s[k], want_s[k], err_msg=k)
 
 
+@pytest.mark.slow
 def test_converted_forward_runs(emrt_r50_vars, tmp_path):
     _, model, v = emrt_r50_vars
     rng = np.random.default_rng(1)
@@ -176,6 +178,7 @@ def _synth_backbone_pd(flat_p, flat_s, deep_stem, rng):
     return pd
 
 
+@pytest.mark.slow
 def test_backbone_only_pretrained_into_emrt(emrt_r50_vars, tmp_path):
     """A torchvision-style ImageNet resnet50 .pdparams initializes exactly
     the backbone subtree of a full EMRT model; every other param is

@@ -263,6 +263,7 @@ def _torch_vit_tokens(x, pd, num_layers, num_heads, patch, taps=None,
     return h
 
 
+@pytest.mark.slow
 def test_setr_vit_backbone_matches_torch_reference():
     from emrt_tpu.models.backbones.vit import VisionTransformer
     from emrt_tpu.models.setr import SETR
@@ -350,6 +351,7 @@ def _torch_mixvit_feats(x, pd, dims, heads, srs, depths):
     return outs
 
 
+@pytest.mark.slow
 def test_segformer_backbone_matches_torch_reference():
     from emrt_tpu.models.backbones.mix_transformer import MixVisionTransformer
     from emrt_tpu.models.segformer import Segformer
@@ -461,6 +463,7 @@ def _torch_cswin_feats(x, pd, prefix, dims, heads, splits, depths):
     return outs
 
 
+@pytest.mark.slow
 def test_cswin_backbone_matches_torch_reference():
     from emrt_tpu.models.backbones.cswin import CSwinTransformer
 
@@ -709,6 +712,7 @@ def _torch_swin_feats(x, pd, prefix, dims, heads, depths, ws_cfg):
     return outs
 
 
+@pytest.mark.slow
 def test_swin_backbone_matches_torch_reference():
     from emrt_tpu.models.backbones.swin import SwinTransformer
     from emrt_tpu.models.upernet import UperNet
@@ -894,6 +898,7 @@ def _torch_focal_feats(x, pd, prefix, heads, depths, ws, e, fls, fws):
     return outs
 
 
+@pytest.mark.slow
 def test_focal_backbone_matches_torch_reference():
     import flax.linen as fnn
     from emrt_tpu.models.backbones.focal import FocalTransformer
@@ -943,6 +948,7 @@ def test_focal_backbone_matches_torch_reference():
 # reference ViT used by the SETR oracle.
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_emrt_vit_backbone_matches_torch_reference():
     from emrt_tpu.models.backbones.vit import VisionTransformer
 
@@ -1018,6 +1024,7 @@ def _torch_mixvit_paddleseg_feats(x, pd, prefix, dims, heads, srs, depths):
     return outs
 
 
+@pytest.mark.slow
 def test_emrt_segformer_b4_backbone_matches_torch_reference():
     import flax.traverse_util as tu
     from emrt_tpu.models.backbones.mix_transformer import MixVisionTransformer
@@ -1098,6 +1105,7 @@ def _torch_segmenter_vit_mask(x, pd, num_layers, num_heads, patch, n_cls,
     return F.interpolate(logits, size=x.shape[-2:], mode="bilinear")
 
 
+@pytest.mark.slow
 def test_segmenter_vit_mask_matches_torch_reference():
     from emrt_tpu.models.segmenter import Segmenter
 
@@ -1217,6 +1225,7 @@ def _torch_resnet50c_feats(x, pd, prefix, output_stride):
     return feats
 
 
+@pytest.mark.slow
 def test_fcn_matches_torch_reference():
     from emrt_tpu.models.fcn import FCN
 
@@ -1257,6 +1266,7 @@ def _t_mlp(t, pd, base):
                       f"{base}.fc2")
 
 
+@pytest.mark.slow
 def test_trans2seg_matches_torch_reference():
     from emrt_tpu.models.trans2seg import Trans2Seg
 
@@ -1360,6 +1370,7 @@ def _t_dpt_resblock(x, pd, base):
     return x + y
 
 
+@pytest.mark.slow
 def test_dpt_matches_torch_reference():
     from emrt_tpu.models.dpt import DPTSeg
 
@@ -1432,6 +1443,7 @@ def _pd_seq_cbr(x, pd, conv_key, bn_key, padding=0):
                                   bias=False), pd, bn_key))
 
 
+@pytest.mark.slow
 def test_setr_mla_matches_torch_reference():
     from test_pdparams_zoo import _tiny_setr
 
@@ -1492,6 +1504,7 @@ def test_setr_mla_matches_torch_reference():
 # fcn_head.py:45-80, end-to-end through the UperNet-Swin forward.
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_upernet_head_matches_torch_reference():
     from emrt_tpu.models.upernet import UperNet
 
@@ -1554,6 +1567,7 @@ def test_upernet_head_matches_torch_reference():
 # relu -> 2x up) + 1x1 cls + final 2x up, on top of the oracled ViT.
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_setr_pup_head_matches_torch_reference():
     from test_pdparams_zoo import _tiny_setr
 
@@ -1590,6 +1604,7 @@ def test_setr_pup_head_matches_torch_reference():
 # torch (reference load_backbone_pretrained, resnet.py:238-243).
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_backbone_only_stem_matches_torch():
     import flax.traverse_util as tu
     from emrt_tpu.models.backbones.resnet import resnet

@@ -389,6 +389,7 @@ def test_convert_upernet_focal():
                ))
 
 
+@pytest.mark.slow
 def test_convert_fcn():
     # fcn.py:22-64: paddleseg resnet50c cnn_encoder + conv_1/cls head;
     # the head conv's bias (bias_attr=True) folds into the BN mean
@@ -410,6 +411,7 @@ def test_convert_fcn():
                ))
 
 
+@pytest.mark.slow
 def test_convert_trans2seg():
     # trans2seg.py:24-108 + trans2seg_transformer.py:88-421 (bias-free
     # fused qkv / fc_q / fc_kv, biased proj) + trans2seg_head.py:61-130
@@ -503,6 +505,7 @@ def test_convt_matches_torch():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pos_embed_interp_on_convert():
     """A pd position embedding trained at a different resolution is
     bilinearly re-interpolated (reference checkpoint.py:55-71)."""

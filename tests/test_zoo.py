@@ -61,6 +61,7 @@ def test_fcn_shapes():
     assert preds[0].shape == (1, 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_segformer_shapes():
     from emrt_tpu.models.segformer import Segformer
     model = Segformer(num_classes=5, embed_dims=(8, 16, 32, 64),
@@ -131,6 +132,7 @@ def test_dpt_shapes():
         assert preds[0].shape == (1, 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_cswin_backbone_shapes():
     from emrt_tpu.models.backbones.cswin import CSwinTransformer
     m = CSwinTransformer(embed_dim=16, depths=(1, 1, 1, 1),
@@ -164,6 +166,7 @@ def test_emrt_backbone_variants():
     assert aux.shape == (1, 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_hrnet_backbone_shapes():
     from emrt_tpu.models.backbones.hrnet import HRNet
     m = HRNet(width=8, stage_modules=(1, 1, 1))
@@ -175,6 +178,7 @@ def test_hrnet_backbone_shapes():
     assert st4[3].shape == (1, 2, 2, 64)       # stride 32, 8W
 
 
+@pytest.mark.slow
 def test_focal_backbone_shapes():
     from emrt_tpu.models.backbones.focal import FocalTransformer
     m = FocalTransformer(embed_dim=16, depths=(1, 1, 1, 1),
@@ -312,6 +316,7 @@ def test_zoo_family_train_step(family):
     assert not dead, (family, f"modules with no updated leaves: {dead}")
 
 
+@pytest.mark.slow
 def test_zoo_loss_decreases_segformer():
     model = _zoo_family("segformer")
     _, _, losses = _one_train_step(model, steps=8)
