@@ -89,7 +89,7 @@ def main():
         return xc * 0.999 + out.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
     print('bench: whole-tile fwd...', file=sys.stderr)
-    dt = _ondevice_time(fwd_step, x)
+    dt = _ondevice_time(fwd_step, x, iters=24)
     infer_ips = infer_bs / dt
 
     # ---- north-star path: sliding-window inference over 1024^2 tiles ----
@@ -107,7 +107,7 @@ def main():
         return xc * 0.999 + logits.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
     print('bench: slide path...', file=sys.stderr)
-    dt = _ondevice_time(slide_step, big, iters=4)
+    dt = _ondevice_time(slide_step, big, iters=12)
     slide_ips = slide_bs * n_windows / dt
 
     # ---- training: chained step ----
@@ -138,8 +138,9 @@ def main():
     train_ips = train_bs / dt
 
     # ---- 512^2 EMRT forward (lv=5376): must ride the level-partitioned
-    # Pallas path, not the jnp fallback (round-2 verdict item 3) ----
-    big_bs = 8
+    # Pallas path, not the jnp fallback (round-2 verdict item 3).
+    # bs sweep on this chip (r05): bs8 -> 99.8, bs16 -> 100.4 img/s ----
+    big_bs = 16
     x512 = jnp.asarray(np.random.default_rng(3).uniform(
         -2, 2, (big_bs, 512, 512, 3)).astype(np.float32))
     v512 = init_variables(model, rng, x512[:1])
@@ -149,7 +150,7 @@ def main():
         return xc * 0.999 + out.mean(axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
     print('bench: 512^2 fwd...', file=sys.stderr)
-    dt = _ondevice_time(fwd512_step, x512, iters=4)
+    dt = _ondevice_time(fwd512_step, x512, iters=12)
     infer512_ips = big_bs / dt
 
     value = round(slide_ips, 1)

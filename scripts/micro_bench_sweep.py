@@ -78,7 +78,7 @@ def main():
                 return xc * 0.999 + out.mean(
                     axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
-            dt = ondevice_time(fwd_step, x)
+            dt = ondevice_time(fwd_step, x, iters=24)
             print(f"fwd    bs={bs:3d}  {dt*1e3:7.2f} ms  "
                   f"{bs/dt:7.1f} tiles/s", flush=True)
 
@@ -98,7 +98,7 @@ def main():
                 return xc * 0.999 + logits.mean(
                     axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
-            dt = ondevice_time(slide_step, big, iters=4)
+            dt = ondevice_time(slide_step, big, iters=12)
             print(f"slide  bs={slide_bs} wb={wb:3d}  {dt*1e3:7.2f} ms  "
                   f"{slide_bs*nw/dt:7.1f} tiles/s", flush=True)
 
@@ -112,7 +112,7 @@ def main():
                 return xc * 0.999 + out.mean(
                     axis=-1, keepdims=True)[:, :, :, :1] * 1e-3
 
-            dt = ondevice_time(f512_step, x512, iters=4)
+            dt = ondevice_time(f512_step, x512, iters=12)
             print(f"512fwd bs={bs:3d}  {dt*1e3:7.2f} ms  "
                   f"{bs/dt:7.1f} img/s", flush=True)
 
